@@ -1,0 +1,112 @@
+"""MIDI data model and SMF round-trip tests."""
+
+import numpy as np
+
+from smer_music_generation_tpu.codec.midi import (
+    Instrument,
+    MidiScore,
+    Note,
+    TimeSignature,
+    read_midi,
+)
+
+
+def _make_score(tempo=90.0, sig=(4, 4)):
+    s = MidiScore(initial_tempo=tempo)
+    s.time_signature_changes = [TimeSignature(sig[0], sig[1], 0.0)]
+    inst = Instrument(program=0)
+    beat = 60.0 / tempo
+    inst.notes = [
+        Note(100, 60, 0.0, beat),
+        Note(100, 64, beat, 2 * beat),
+        Note(100, 67, beat, 2 * beat),
+        Note(90, 72, 2 * beat, 4 * beat),
+    ]
+    s.instruments.append(inst)
+    return s
+
+
+def test_beats_quarter_time():
+    s = _make_score(tempo=120.0)
+    beats = s.get_beats()
+    assert np.allclose(np.diff(beats), 0.5)
+    downs = s.get_downbeats()
+    assert np.allclose(np.diff(downs), 2.0)  # 4 quarters per bar
+
+
+def test_beats_compound_6_8():
+    s = MidiScore(initial_tempo=120.0)
+    s.time_signature_changes = [TimeSignature(6, 8, 0.0)]
+    inst = Instrument()
+    inst.notes = [Note(100, 60, 0.0, 6.0)]
+    s.instruments.append(inst)
+    beats = s.get_beats()
+    # dotted quarter at 120qpm = 0.75s
+    assert np.allclose(np.diff(beats), 0.75)
+    downs = s.get_downbeats()
+    assert np.allclose(np.diff(downs), 1.5)  # two beats per 6/8 bar
+
+
+def test_piano_roll_fs_truncation_matches_pretty_midi():
+    inst = Instrument()
+    inst.notes = [Note(100, 60, 0.25, 0.75)]
+    roll = inst.get_piano_roll(fs=4)  # 0.25s per column
+    assert roll.shape[1] == 3
+    assert list(np.nonzero(roll[60])[0]) == [1, 2]
+
+
+def test_piano_roll_times_slots():
+    s = _make_score(tempo=120.0)
+    times = np.arange(0, 2.0, 0.125)  # 16th grid at 120qpm
+    roll = (s.get_piano_roll(times=times) > 0).astype(int)
+    # first note spans [0, 0.5): slots 0..3
+    assert roll[60, :4].sum() == 4 and roll[60, 4:].sum() == 0
+    # chord notes span [0.5, 1.0): slots 4..7
+    assert roll[64, 4:8].sum() == 4 and roll[67, 4:8].sum() == 4
+
+
+def test_smf_roundtrip(tmp_path):
+    s = _make_score(tempo=90.0, sig=(3, 4))
+    path = str(tmp_path / "t.mid")
+    s.write(path)
+    r = read_midi(path)
+    assert len(r.instruments) == 1
+    assert r.time_signature_changes[0].numerator == 3
+    assert abs(r.initial_tempo - 90.0) < 0.01
+    got = sorted((n.pitch, round(n.start, 3), round(n.end, 3)) for n in r.instruments[0].notes)
+    want = sorted((n.pitch, round(n.start, 3), round(n.end, 3)) for n in s.instruments[0].notes)
+    assert got == want
+
+
+def test_smf_roundtrip_multitrack_and_drums(tmp_path):
+    s = MidiScore(initial_tempo=100.0)
+    s.time_signature_changes = [TimeSignature(4, 4, 0.0)]
+    melody = Instrument(program=0)
+    melody.notes = [Note(120, 60, 0.0, 0.6)]
+    bass = Instrument(program=32)
+    bass.notes = [Note(100, 40, 0.0, 1.2)]
+    drums = Instrument(program=0, is_drum=True)
+    drums.notes = [Note(100, 36, 0.0, 0.3)]
+    s.instruments = [melody, bass, drums]
+    path = str(tmp_path / "m.mid")
+    s.write(path)
+    r = read_midi(path)
+    assert len(r.instruments) == 3
+    drum_insts = [i for i in r.instruments if i.is_drum]
+    assert len(drum_insts) == 1
+    programs = sorted(i.program for i in r.instruments if not i.is_drum)
+    assert programs == [0, 32]
+
+
+def test_repeated_pitch_notes(tmp_path):
+    s = MidiScore(initial_tempo=120.0)
+    s.time_signature_changes = [TimeSignature(4, 4, 0.0)]
+    inst = Instrument()
+    inst.notes = [Note(100, 60, 0.0, 0.5), Note(100, 60, 0.5, 1.0)]
+    s.instruments = [inst]
+    path = str(tmp_path / "r.mid")
+    s.write(path)
+    r = read_midi(path)
+    notes = sorted(r.instruments[0].notes, key=lambda n: n.start)
+    assert len(notes) == 2
+    assert abs(notes[0].end - 0.5) < 1e-3 and abs(notes[1].start - 0.5) < 1e-3
