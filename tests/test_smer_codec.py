@@ -1,0 +1,219 @@
+"""SMER codec property tests: grammar well-formedness + canonical round trip.
+
+The round-trip gate mirrors the reference's own canonicalization step
+(reference ``preprocessing.py:1351-1369``): tokenize, decode to MIDI,
+re-tokenize -- the second pass must be token-exact.
+"""
+
+import numpy as np
+import pytest
+
+from smer_music_generation_tpu.codec.durations import get_duration_table
+from smer_music_generation_tpu.codec.midi import (
+    Instrument,
+    MidiScore,
+    Note,
+    TimeSignature,
+)
+from smer_music_generation_tpu.codec.smer import (
+    CORPUS_VELOCITIES,
+    decode_tempo_token,
+    events_to_midi,
+    midi_to_events,
+    midi_to_events_window,
+)
+
+
+def make_score(tempo=100.0, sig=(4, 4), tracks=1, bars=4, seed=7, density=0.5):
+    rng = np.random.default_rng(seed)
+    s = MidiScore(initial_tempo=tempo)
+    s.time_signature_changes = [TimeSignature(sig[0], sig[1], 0.0)]
+    quarter = 60.0 / tempo
+    if sig[1] == 4:
+        bar_dur = sig[0] * quarter
+    else:
+        bar_dur = sig[0] * quarter / 2
+    sixteenth = quarter / 4
+    n_slots = int(round(bar_dur / sixteenth))
+    for t in range(tracks):
+        inst = Instrument(program=[0, 32, 48][t % 3])
+        for bar in range(bars):
+            slot = 0
+            while slot < n_slots:
+                if rng.random() < density:
+                    length = int(rng.integers(1, 5))
+                    length = min(length, n_slots - slot)
+                    start = bar * bar_dur + slot * sixteenth
+                    end = start + length * sixteenth
+                    pitch = int(rng.integers(40, 90))
+                    inst.notes.append(Note(100, pitch, start, end))
+                    if rng.random() < 0.3:  # chord note
+                        inst.notes.append(Note(100, min(pitch + 4, 108), start, end))
+                    slot += length
+                else:
+                    slot += 1
+        s.instruments.append(inst)
+    return s
+
+
+def grammar_check(events, sig):
+    """Every bar/track body must sum exactly to the bar duration."""
+    tempo = float(events[1])
+    quarter = 60.0 / tempo
+    beat = quarter * 1.5 if sig[1] == 8 else quarter
+    table = get_duration_table(beat, sig)
+    bar_dur = table.bar_duration
+
+    i = 0
+    cur = 0.0
+    prev_dur = 0.0
+    pending = []
+    mode = None
+    track_open = False
+
+    def flush():
+        nonlocal cur, prev_dur, pending, mode
+        d = table.total_duration(pending)
+        if mode == "sep":
+            cur = cur - prev_dur + d
+        else:
+            cur += d
+        prev_dur = d
+        pending = []
+        mode = None
+
+    for tok in events:
+        if tok in table.name_to_time:
+            pending.append(tok)
+            continue
+        if pending:
+            flush()
+        if tok == "bar" or tok.startswith("track_"):
+            if track_open:
+                assert abs(cur % bar_dur) < 1e-6 or abs(cur % bar_dur - bar_dur) < 1e-6, (
+                    f"track body does not close the bar: cur={cur}"
+                )
+            cur = 0.0
+            prev_dur = 0.0
+            track_open = tok.startswith("track_")
+        elif tok == "sep":
+            mode = "sep"
+        elif tok == "rest":
+            mode = "rest"
+    if pending:
+        flush()
+
+
+@pytest.mark.parametrize("sig", [(4, 4), (3, 4), (2, 4), (6, 8)])
+@pytest.mark.parametrize("tracks", [1, 3])
+def test_window_roundtrip_token_exact(sig, tracks):
+    score = make_score(sig=sig, tracks=tracks, bars=5, seed=11 + tracks)
+    track_names = [f"track_{i}" for i in range(tracks)]
+    res = midi_to_events_window(score, track_names)
+    assert res is not None
+    events, _, tempo = res
+    assert events.count("bar") == 16  # padded window
+
+    decoded = events_to_midi(events, tempo)
+    assert decoded is not None
+    res2 = midi_to_events_window(decoded, track_names)
+    assert res2 is not None
+    events2, _, _ = res2
+    # canonicalization: second pass token-exact
+    decoded2 = events_to_midi(events2, tempo)
+    res3 = midi_to_events_window(decoded2, track_names)
+    assert res3[0] == events2
+
+
+def test_corpus_roundtrip_token_exact():
+    score = make_score(sig=(4, 4), tracks=2, bars=6, seed=3)
+    res = midi_to_events(score)
+    assert res is not None
+    events, _ = res
+    decoded = events_to_midi(events, float(events[1]), velocities=CORPUS_VELOCITIES)
+    res2 = midi_to_events(decoded)
+    events2, _ = res2
+    decoded2 = events_to_midi(events2, float(events2[1]), velocities=CORPUS_VELOCITIES)
+    res3 = midi_to_events(decoded2)
+    assert res3[0] == events2
+
+
+@pytest.mark.parametrize("sig", [(4, 4), (6, 8)])
+def test_grammar_bars_sum(sig):
+    score = make_score(sig=sig, tracks=2, bars=4, seed=5)
+    events, _, tempo = midi_to_events_window(score, ["track_0", "track_1"])
+    grammar_check(events, sig)
+
+
+def test_tie_across_bars_produces_continue():
+    tempo = 120.0
+    s = MidiScore(initial_tempo=tempo)
+    s.time_signature_changes = [TimeSignature(4, 4, 0.0)]
+    inst = Instrument(program=0)
+    quarter = 60.0 / tempo
+    # note spans from bar 1 beat 3 into bar 2 beat 2; bar 2 also has a new
+    # onset (the reference only honours ties into bars with new onsets:
+    # the empty-bar check precedes the continue merge, encode.py:1275-1286)
+    inst.notes = [
+        Note(100, 60, 2 * quarter, 6 * quarter),
+        Note(100, 72, 5 * quarter, 6 * quarter),
+    ]
+    s.instruments.append(inst)
+    events, _, _ = midi_to_events_window(s, ["track_0"])
+    assert "continue" in events
+    decoded = events_to_midi(events, tempo)
+    notes = sorted(decoded.instruments[0].notes, key=lambda n: n.pitch)
+    assert len(notes) == 2
+    assert abs(notes[0].start - 2 * quarter) < 1e-6
+    assert abs(notes[0].end - 6 * quarter) < 1e-6  # tie merged back into one note
+    assert abs(notes[1].start - 5 * quarter) < 1e-6
+
+
+def test_chord_and_overlap_sep():
+    tempo = 120.0
+    s = MidiScore(initial_tempo=tempo)
+    s.time_signature_changes = [TimeSignature(4, 4, 0.0)]
+    inst = Instrument(program=0)
+    q = 60.0 / tempo
+    # chord then an overlapping note (starts before chord release)
+    inst.notes = [
+        Note(100, 60, 0.0, 2 * q),
+        Note(100, 64, 0.0, 2 * q),
+        Note(100, 72, q, 3 * q),
+    ]
+    s.instruments.append(inst)
+    events, _, _ = midi_to_events_window(s, ["track_0"])
+    assert "sep" in events
+    decoded = events_to_midi(events, tempo)
+    got = sorted((n.pitch, round(n.start, 4), round(n.end, 4)) for n in decoded.instruments[0].notes)
+    assert got == [(60, 0.0, round(2 * q, 4)), (64, 0.0, round(2 * q, 4)), (72, round(q, 4), round(3 * q, 4))]
+
+
+def test_empty_track_is_all_rest():
+    s = MidiScore(initial_tempo=100.0)
+    s.time_signature_changes = [TimeSignature(4, 4, 0.0)]
+    melody = Instrument(program=0)
+    q = 0.6
+    melody.notes = [Note(100, 60, 0.0, q)]
+    empty = Instrument(program=32)
+    s.instruments = [melody, empty]
+    events, _, _ = midi_to_events_window(s, ["track_0", "track_1"])
+    # every track_1 body is a full-bar rest
+    idxs = [i for i, e in enumerate(events) if e == "track_1"]
+    for i in idxs:
+        assert events[i + 1] == "rest"
+
+
+def test_decode_tempo_token():
+    assert decode_tempo_token("t_0") == 30.0  # (0+60)/2
+    assert decode_tempo_token("t_6") == 200.0  # last bin edge
+
+
+def test_pitch_range_filtered():
+    s = MidiScore(initial_tempo=100.0)
+    s.time_signature_changes = [TimeSignature(4, 4, 0.0)]
+    inst = Instrument(program=0)
+    inst.notes = [Note(100, 10, 0.0, 0.6), Note(100, 115, 0.0, 0.6)]
+    s.instruments = [inst]
+    events, _, _ = midi_to_events_window(s, ["track_0"])
+    assert not any(e.startswith("p_") for e in events)
