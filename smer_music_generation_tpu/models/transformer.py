@@ -1,0 +1,330 @@
+"""Flax encoder-decoder for masked-span music infilling.
+
+TPU-first redesign of the reference model stack (``model.py:59-106`` +
+``transformer.py:16-470``, a fork of ``torch.nn.Transformer`` that also
+returns decoder cross-attention weights):
+
+* shared src/tgt embedding scaled by sqrt(d_model), sinusoidal positions,
+  post-LN residual blocks, ReLU FFN, xavier-uniform init — numerically the
+  same architecture family as the trained reference artifact (d512 / h8 /
+  4+4 / ff2048 / max_seq 2400, ``config/config.yaml:26-43``);
+* attention is a single einsum-based module whose K/V projections can be
+  primed once and reused as a decode cache — the autoregressive decode path
+  (``infer/decode.py``) runs the encoder once, precomputes per-layer cross
+  K/V, and steps the decoder with O(1) new work per token, replacing the
+  reference's full re-forward per emitted token (``generation.py:209-225``);
+* compute dtype is configurable (bfloat16 on TPU) with float32 params and
+  float32 softmax/logits.
+
+Everything is shape-static and jit-friendly; masks are boolean with
+``True = attend``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    vocab_size: int
+    d_model: int = 512
+    nhead: int = 8
+    num_encoder_layers: int = 4
+    num_decoder_layers: int = 4
+    d_ff: int = 2048
+    max_len: int = 2400
+    dropout: float = 0.1
+    pos_dropout: float = 0.1
+    dtype: Any = jnp.float32
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.nhead
+
+
+def sinusoidal_table(max_len: int, d_model: int) -> jnp.ndarray:
+    position = jnp.arange(max_len, dtype=jnp.float32)[:, None]
+    div_term = jnp.exp(
+        jnp.arange(0, d_model, 2, dtype=jnp.float32) * (-math.log(10000.0) / d_model)
+    )
+    pe = jnp.zeros((max_len, d_model), dtype=jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(position * div_term))
+    pe = pe.at[:, 1::2].set(jnp.cos(position * div_term))
+    return pe
+
+
+_dense_init = nn.initializers.xavier_uniform()
+
+
+class MultiHeadAttention(nn.Module):
+    """Einsum MHA with separable K/V projection for cache priming."""
+
+    cfg: ModelConfig
+
+    def setup(self):
+        c = self.cfg
+        self.q_proj = nn.Dense(c.d_model, kernel_init=_dense_init, dtype=c.dtype, name="q")
+        self.k_proj = nn.Dense(c.d_model, kernel_init=_dense_init, dtype=c.dtype, name="k")
+        self.v_proj = nn.Dense(c.d_model, kernel_init=_dense_init, dtype=c.dtype, name="v")
+        self.out_proj = nn.Dense(c.d_model, kernel_init=_dense_init, dtype=c.dtype, name="out")
+
+    def project_kv(self, kv_in: Array) -> Tuple[Array, Array]:
+        """(B, S, D) -> ((B, S, H, hd), (B, S, H, hd)); used to prime caches."""
+        c = self.cfg
+        B, S, _ = kv_in.shape
+        k = self.k_proj(kv_in).reshape(B, S, c.nhead, c.head_dim)
+        v = self.v_proj(kv_in).reshape(B, S, c.nhead, c.head_dim)
+        return k, v
+
+    def attend(
+        self,
+        q_in: Array,
+        k: Array,
+        v: Array,
+        mask: Optional[Array],
+        deterministic: bool,
+    ) -> Tuple[Array, Array]:
+        """q_in: (B, T, D); k/v: (B, S, H, hd); mask: broadcastable to
+        (B, H, T, S), True = attend.  Returns (out, head-avg weights)."""
+        c = self.cfg
+        B, T, _ = q_in.shape
+        q = self.q_proj(q_in).reshape(B, T, c.nhead, c.head_dim)
+        scores = jnp.einsum("bthd,bshd->bhts", q, k).astype(jnp.float32)
+        scores = scores / math.sqrt(c.head_dim)
+        if mask is not None:
+            scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+        weights = jax.nn.softmax(scores, axis=-1)
+        # fully-masked query rows (all-pad) produce uniform weights; zero them
+        if mask is not None:
+            any_valid = jnp.any(mask, axis=-1, keepdims=True)
+            weights = jnp.where(any_valid, weights, 0.0)
+        weights = weights.astype(c.dtype)
+        if c.dropout > 0.0 and not deterministic:
+            rng = self.make_rng("dropout")
+            keep = jax.random.bernoulli(rng, 1.0 - c.dropout, weights.shape)
+            weights = jnp.where(keep, weights / (1.0 - c.dropout), 0.0)
+        out = jnp.einsum("bhts,bshd->bthd", weights, v).reshape(B, T, c.d_model)
+        return self.out_proj(out), weights.astype(jnp.float32).mean(axis=1)
+
+    def __call__(self, q_in, kv_in, mask=None, deterministic=True):
+        k, v = self.project_kv(kv_in)
+        return self.attend(q_in, k, v, mask, deterministic)
+
+
+class FeedForward(nn.Module):
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        c = self.cfg
+        h = nn.Dense(c.d_ff, kernel_init=_dense_init, dtype=c.dtype, name="fc1")(x)
+        h = nn.relu(h)
+        h = nn.Dropout(rate=c.dropout)(h, deterministic=deterministic)
+        return nn.Dense(c.d_model, kernel_init=_dense_init, dtype=c.dtype, name="fc2")(h)
+
+
+class EncoderLayer(nn.Module):
+    cfg: ModelConfig
+
+    def setup(self):
+        c = self.cfg
+        self.self_attn = MultiHeadAttention(c, name="self_attn")
+        self.ff = FeedForward(c, name="ff")
+        self.norm1 = nn.LayerNorm(dtype=jnp.float32, name="norm1")
+        self.norm2 = nn.LayerNorm(dtype=jnp.float32, name="norm2")
+        self.drop1 = nn.Dropout(rate=c.dropout)
+        self.drop2 = nn.Dropout(rate=c.dropout)
+
+    def __call__(self, x, mask, deterministic=True):
+        attn_out, _ = self.self_attn(x, x, mask, deterministic)
+        x = self.norm1(x + self.drop1(attn_out, deterministic=deterministic))
+        x = self.norm2(x + self.drop2(self.ff(x, deterministic), deterministic=deterministic))
+        return x
+
+
+class DecoderLayer(nn.Module):
+    cfg: ModelConfig
+
+    def setup(self):
+        c = self.cfg
+        self.self_attn = MultiHeadAttention(c, name="self_attn")
+        self.cross_attn = MultiHeadAttention(c, name="cross_attn")
+        self.ff = FeedForward(c, name="ff")
+        self.norm1 = nn.LayerNorm(dtype=jnp.float32, name="norm1")
+        self.norm2 = nn.LayerNorm(dtype=jnp.float32, name="norm2")
+        self.norm3 = nn.LayerNorm(dtype=jnp.float32, name="norm3")
+        self.drop1 = nn.Dropout(rate=c.dropout)
+        self.drop2 = nn.Dropout(rate=c.dropout)
+        self.drop3 = nn.Dropout(rate=c.dropout)
+
+    def __call__(self, x, memory, self_mask, cross_mask, deterministic=True):
+        attn_out, _ = self.self_attn(x, x, self_mask, deterministic)
+        x = self.norm1(x + self.drop1(attn_out, deterministic=deterministic))
+        cross_out, cross_weights = self.cross_attn(x, memory, cross_mask, deterministic)
+        x = self.norm2(x + self.drop2(cross_out, deterministic=deterministic))
+        x = self.norm3(x + self.drop3(self.ff(x, deterministic), deterministic=deterministic))
+        return x, cross_weights
+
+    # ---- cached single/short-step decode (no dropout: inference only) ----
+    def decode_step(self, x, self_k, self_v, self_mask, cross_k, cross_v, cross_mask):
+        attn_out, _ = self.self_attn.attend(x, self_k, self_v, self_mask, True)
+        x = self.norm1(x + attn_out)
+        cross_out, w = self.cross_attn.attend(x, cross_k, cross_v, cross_mask, True)
+        x = self.norm2(x + cross_out)
+        x = self.norm3(x + self.ff(x, True))
+        return x, w
+
+
+class ScoreTransformer(nn.Module):
+    """Seq2seq infilling model; `__call__` mirrors the reference forward
+    (returns logits + per-layer head-averaged cross-attention weights)."""
+
+    cfg: ModelConfig
+
+    def setup(self):
+        c = self.cfg
+        self.embedding = nn.Embed(
+            c.vocab_size,
+            c.d_model,
+            embedding_init=nn.initializers.xavier_normal(),
+            dtype=c.dtype,
+            name="embedding",
+        )
+        self.pos_table = sinusoidal_table(c.max_len, c.d_model)
+        self.pos_dropout = nn.Dropout(rate=c.pos_dropout)
+        self.encoder_layers = [
+            EncoderLayer(c, name=f"encoder_{i}") for i in range(c.num_encoder_layers)
+        ]
+        self.decoder_layers = [
+            DecoderLayer(c, name=f"decoder_{i}") for i in range(c.num_decoder_layers)
+        ]
+        self.fc = nn.Dense(
+            c.vocab_size, kernel_init=_dense_init, dtype=jnp.float32, name="fc"
+        )
+
+    # ------------------------------------------------------------------
+    def embed(self, tokens: Array, offset: int = 0, deterministic: bool = True) -> Array:
+        c = self.cfg
+        x = self.embedding(tokens) * math.sqrt(c.d_model)
+        T = tokens.shape[-1]
+        pos = jax.lax.dynamic_slice_in_dim(self.pos_table, offset, T, axis=0)
+        x = x + pos.astype(x.dtype)
+        return self.pos_dropout(x, deterministic=deterministic)
+
+    def encode(self, src: Array, src_pad_mask: Optional[Array] = None, deterministic: bool = True) -> Array:
+        """src: (B, S) int32; src_pad_mask: (B, S) True = PAD."""
+        x = self.embed(src, deterministic=deterministic)
+        attn_mask = None
+        if src_pad_mask is not None:
+            attn_mask = (~src_pad_mask)[:, None, None, :]  # (B,1,1,S) True=attend
+        for layer in self.encoder_layers:
+            x = layer(x, attn_mask, deterministic)
+        return x
+
+    def decode(
+        self,
+        tgt: Array,
+        memory: Array,
+        tgt_pad_mask: Optional[Array] = None,
+        memory_pad_mask: Optional[Array] = None,
+        deterministic: bool = True,
+    ) -> Tuple[Array, Array]:
+        B, T = tgt.shape
+        x = self.embed(tgt, deterministic=deterministic)
+        causal = jnp.tril(jnp.ones((T, T), dtype=bool))[None, None, :, :]
+        if tgt_pad_mask is not None:
+            self_mask = causal & (~tgt_pad_mask)[:, None, None, :]
+        else:
+            self_mask = causal
+        cross_mask = None
+        if memory_pad_mask is not None:
+            cross_mask = (~memory_pad_mask)[:, None, None, :]
+        all_weights = []
+        for layer in self.decoder_layers:
+            x, w = layer(x, memory, self_mask, cross_mask, deterministic)
+            all_weights.append(w)
+        logits = self.fc(x.astype(jnp.float32))
+        return logits, jnp.stack(all_weights, axis=1)  # (B, L, T, S)
+
+    def __call__(
+        self,
+        src: Array,
+        tgt: Array,
+        src_pad_mask: Optional[Array] = None,
+        tgt_pad_mask: Optional[Array] = None,
+        deterministic: bool = True,
+    ) -> Tuple[Array, Array]:
+        memory = self.encode(src, src_pad_mask, deterministic)
+        return self.decode(tgt, memory, tgt_pad_mask, src_pad_mask, deterministic)
+
+    # ------------------------------------------------------------------
+    # KV-cache decode path (inference)
+    # ------------------------------------------------------------------
+    def init_cross_cache(self, memory: Array) -> Dict[str, Tuple[Array, Array]]:
+        """Project encoder memory to per-layer cross K/V once per session."""
+        return {
+            f"layer_{i}": layer.cross_attn.project_kv(memory)
+            for i, layer in enumerate(self.decoder_layers)
+        }
+
+    def init_self_cache(self, batch: int, max_len: int) -> Dict[str, Tuple[Array, Array]]:
+        c = self.cfg
+        shape = (batch, max_len, c.nhead, c.head_dim)
+        zeros = jnp.zeros(shape, dtype=c.dtype)
+        return {f"layer_{i}": (zeros, zeros) for i in range(c.num_decoder_layers)}
+
+    def decode_step(
+        self,
+        token: Array,  # (B,) int32 — the token at position `index`
+        index: Array,  # scalar int32 position
+        self_cache: Dict[str, Tuple[Array, Array]],
+        cross_cache: Dict[str, Tuple[Array, Array]],
+        memory_pad_mask: Optional[Array] = None,
+    ) -> Tuple[Array, Dict[str, Tuple[Array, Array]]]:
+        """One autoregressive step with O(1) new computation.
+
+        Returns (logits (B, V), updated self_cache).  The self cache holds
+        K/V for positions [0, index]; attention masks positions > index.
+        """
+        B = token.shape[0]
+        x = self.embed(token[:, None], offset=0)  # PE added below via index
+        # correct position encoding: subtract pos[0], add pos[index]
+        pe = jax.lax.dynamic_slice_in_dim(self.pos_table, 0, 1, axis=0)
+        x = x - pe.astype(x.dtype)
+        pe_i = jax.lax.dynamic_index_in_dim(self.pos_table, index, axis=0, keepdims=True)
+        x = x + pe_i.astype(x.dtype)
+
+        max_len = next(iter(self_cache.values()))[0].shape[1]
+        positions = jnp.arange(max_len)[None, None, None, :]
+        self_mask = positions <= index  # (1,1,1,S)
+        cross_mask = None
+        if memory_pad_mask is not None:
+            cross_mask = (~memory_pad_mask)[:, None, None, :]
+
+        new_cache = {}
+        for i, layer in enumerate(self.decoder_layers):
+            key = f"layer_{i}"
+            k_cache, v_cache = self_cache[key]
+            k_new, v_new = layer.self_attn.project_kv(x)
+            k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k_new, index, axis=1)
+            v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v_new, index, axis=1)
+            new_cache[key] = (k_cache, v_cache)
+            ck, cv = cross_cache[key]
+            x, _ = layer.decode_step(x, k_cache, v_cache, self_mask, ck, cv, cross_mask)
+        logits = self.fc(x.astype(jnp.float32))
+        return logits[:, 0, :], new_cache
+
+
+def gen_nopeek_mask(length: int) -> jnp.ndarray:
+    """Boolean causal mask, True = attend (replaces the reference's float
+    -inf mask, ``dataset.py:786-799``)."""
+    return jnp.tril(jnp.ones((length, length), dtype=bool))

@@ -1,0 +1,188 @@
+"""Model core tests: shapes, causality, KV-cache decode equivalence, loss."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smer_music_generation_tpu.models.transformer import (
+    ModelConfig,
+    ScoreTransformer,
+    sinusoidal_table,
+)
+from smer_music_generation_tpu.train.loss import (
+    build_loss_tables,
+    multihead_ce,
+    per_class_accuracy,
+)
+from smer_music_generation_tpu.vocab import CONTROL_SETS, WordVocab
+
+V = 64
+CFG = ModelConfig(
+    vocab_size=V, d_model=32, nhead=4, num_encoder_layers=2, num_decoder_layers=2,
+    d_ff=64, max_len=128, dropout=0.0, pos_dropout=0.0,
+)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = ScoreTransformer(CFG)
+    rng = jax.random.PRNGKey(0)
+    src = jnp.ones((2, 10), dtype=jnp.int32)
+    tgt = jnp.ones((2, 8), dtype=jnp.int32)
+    params = model.init({"params": rng}, src, tgt)
+    return model, params
+
+
+def test_forward_shapes(model_and_params):
+    model, params = model_and_params
+    src = jnp.arange(20, dtype=jnp.int32).reshape(2, 10) % V
+    tgt = jnp.arange(16, dtype=jnp.int32).reshape(2, 8) % V
+    logits, weights = model.apply(params, src, tgt)
+    assert logits.shape == (2, 8, V)
+    assert weights.shape == (2, CFG.num_decoder_layers, 8, 10)
+
+
+def test_causality(model_and_params):
+    model, params = model_and_params
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.integers(1, V, (1, 10)), dtype=jnp.int32)
+    tgt1 = jnp.asarray(rng.integers(1, V, (1, 8)), dtype=jnp.int32)
+    tgt2 = tgt1.at[0, 5].set((tgt1[0, 5] + 1) % V)  # change a future token
+    l1, _ = model.apply(params, src, tgt1)
+    l2, _ = model.apply(params, src, tgt2)
+    # positions < 5 unaffected by the change at position 5
+    np.testing.assert_allclose(l1[0, :5], l2[0, :5], atol=1e-5)
+    assert not np.allclose(l1[0, 5:], l2[0, 5:])
+
+
+def test_padding_mask_effect(model_and_params):
+    model, params = model_and_params
+    rng = np.random.default_rng(1)
+    src = jnp.asarray(rng.integers(1, V, (1, 10)), dtype=jnp.int32)
+    tgt = jnp.asarray(rng.integers(1, V, (1, 6)), dtype=jnp.int32)
+    pad_mask = jnp.zeros((1, 10), dtype=bool).at[0, 7:].set(True)
+    # changing padded src positions must not change output when masked
+    src2 = src.at[0, 8].set((src[0, 8] + 3) % V)
+    l1, _ = model.apply(params, src, tgt, src_pad_mask=pad_mask)
+    l2, _ = model.apply(params, src2, tgt, src_pad_mask=pad_mask)
+    np.testing.assert_allclose(l1, l2, atol=1e-5)
+
+
+def test_kv_cache_decode_matches_full(model_and_params):
+    """Cached stepwise decode must equal the full (re-forward) decode."""
+    model, params = model_and_params
+    rng = np.random.default_rng(2)
+    src = jnp.asarray(rng.integers(1, V, (1, 12)), dtype=jnp.int32)
+    tgt = jnp.asarray(rng.integers(1, V, (1, 9)), dtype=jnp.int32)
+
+    full_logits, _ = model.apply(params, src, tgt)
+
+    memory = model.apply(params, src, method=ScoreTransformer.encode)
+    cross_cache = model.apply(params, memory, method=ScoreTransformer.init_cross_cache)
+    self_cache = model.apply(params, 1, 16, method=ScoreTransformer.init_self_cache)
+
+    step_logits = []
+    for i in range(9):
+        logits, self_cache = model.apply(
+            params,
+            tgt[:, i],
+            jnp.int32(i),
+            self_cache,
+            cross_cache,
+            method=ScoreTransformer.decode_step,
+        )
+        step_logits.append(logits)
+    step_logits = jnp.stack(step_logits, axis=1)
+    np.testing.assert_allclose(step_logits, full_logits, atol=2e-4, rtol=1e-3)
+
+
+def test_sinusoidal_table():
+    pe = sinusoidal_table(16, 8)
+    assert pe.shape == (16, 8)
+    np.testing.assert_allclose(pe[0], np.array([0, 1] * 4), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Loss
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vocab():
+    return WordVocab(0, CONTROL_SETS[5])
+
+
+def _torch_style_reference_loss(logits, targets, vocab, eos_weight):
+    """Direct transliteration of the reference's 7+k-head loss."""
+    logits = np.asarray(logits, dtype=np.float64)
+    targets = np.asarray(targets)
+    Vn = vocab.vocab_size
+    logp = logits - np.log(np.exp(logits - logits.max(-1, keepdims=True)).sum(-1, keepdims=True)) - logits.max(-1, keepdims=True)
+
+    ce_all = np.ones(Vn)
+    ce_all[0] = 0
+    ce_all[2] = 0
+    ce_all[-1] = 0
+    ce_all[1] = eos_weight
+
+    heads = []
+    meta = np.zeros(Vn); meta[1] = eos_weight; heads.append(meta)
+    for lo, hi in [(3, 7), (7, 11), (11, 18), (18, 146), (146, 234), (234, 234 + len(vocab.duration_indices))]:
+        w = np.zeros(Vn); w[lo:hi] = 1; heads.append(w)
+    for name in ("key", "tensile", "density", "polyphony", "occupation"):
+        idxs = vocab.control_indices[name]
+        w = np.zeros(Vn); w[idxs[0]:idxs[-1] + 1] = 1; heads.append(w)
+
+    flat_t = targets.reshape(-1)
+    flat_lp = logp.reshape(-1, Vn)
+    nll = -flat_lp[np.arange(len(flat_t)), flat_t]
+    nll[flat_t == 0] = 0.0
+    denom = ce_all[flat_t][flat_t != 0].sum()
+    total = 0.0
+    for w in heads:
+        total += (w[flat_t] * nll).sum() / denom
+    return total
+
+
+def test_fused_loss_matches_reference_heads(vocab):
+    rng = np.random.default_rng(0)
+    B, T = 2, 12
+    logits = jnp.asarray(rng.normal(size=(B, T, vocab.vocab_size)), dtype=jnp.float32)
+    targets = jnp.asarray(
+        rng.choice([0, 1, 5, 9, 14, 100, 200, 238, 245, 300], size=(B, T)), dtype=jnp.int32
+    )
+    tables = build_loss_tables(vocab)
+    total, per_head = multihead_ce(logits, targets, tables, eos_weight=0.8)
+    want = _torch_style_reference_loss(logits, targets, vocab, 0.8)
+    np.testing.assert_allclose(float(total), want, rtol=1e-5)
+    assert set(per_head) == {
+        "meta", "structure", "time_signature", "tempo", "program", "pitch",
+        "duration", "key", "tensile", "density", "polyphony", "occupation",
+    }
+    # per-head sum equals the total
+    np.testing.assert_allclose(
+        float(sum(per_head.values())), float(total), rtol=1e-6
+    )
+
+
+def test_per_class_accuracy(vocab):
+    tables = build_loss_tables(vocab)
+    B, T = 1, 6
+    targets = jnp.asarray([[1, 150, 150, 238, 0, 300]], dtype=jnp.int32)
+    logits = jnp.full((B, T, vocab.vocab_size), -10.0)
+    # predict correctly for positions 0,1,3; wrong for 2, 5
+    logits = logits.at[0, 0, 1].set(10.0)
+    logits = logits.at[0, 1, 150].set(10.0)
+    logits = logits.at[0, 2, 151].set(10.0)
+    logits = logits.at[0, 3, 238].set(10.0)
+    logits = logits.at[0, 4, 7].set(10.0)
+    logits = logits.at[0, 5, 299].set(10.0)
+    correct_pc, count_pc, total_c, total_n = per_class_accuracy(logits, targets, tables)
+    names = tables["class_names"]
+    acc = {n: (c, k) for n, c, k in zip(names, correct_pc.tolist(), count_pc.tolist())}
+    assert acc["pitch"] == (1.0, 2.0)
+    assert acc["duration"] == (1.0, 1.0)
+    assert acc["eos"] == (1.0, 1.0)
+    assert float(total_n) == 5.0  # pad excluded
+    assert float(total_c) == 3.0
