@@ -1,0 +1,119 @@
+"""Batch collation + epoch iterator over packed event groups.
+
+Replaces the reference's torch ``DataLoader`` + ``collate_mlm_*`` pair
+(``dataset.py:802-925``, ``train.py:481-553``) with a plain numpy iterator.
+
+TPU-first change: sequences are padded to *bucketed* fixed lengths
+(multiples of ``bucket``) rather than the batch max, so XLA compiles a
+small number of shapes once instead of recompiling per batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..vocab import WordVocab
+from .masking import MaskingConfig, MaskingPipeline
+
+
+def _bucket(n: int, bucket: int, cap: int) -> int:
+    return min(int(np.ceil(max(n, 1) / bucket)) * bucket, cap)
+
+
+def collate(
+    groups: Sequence,
+    bucket: int = 128,
+    max_src: int = 2400,
+    max_tgt: int = 2400,
+) -> Optional[Dict[str, np.ndarray]]:
+    """Stack (tokens, decoder_in, decoder_target) triples into padded arrays.
+
+    Returns ``{"input", "target_in", "target_out", "input_pad_mask",
+    "target_pad_mask"}`` with pad id 0 and boolean masks (True = pad),
+    matching the reference collate contract.
+    """
+    groups = [g for g in groups if g is not None]
+    if not groups:
+        return None
+    tokens: List[np.ndarray] = []
+    dins: List[np.ndarray] = []
+    dtgts: List[np.ndarray] = []
+    for g in groups:
+        tokens.extend(g[0])
+        dins.extend(g[1])
+        dtgts.extend(g[2])
+
+    src_len = _bucket(max(len(t) for t in tokens), bucket, max_src)
+    tgt_len = _bucket(max(max(len(d) for d in dins), max(len(d) for d in dtgts)), bucket, max_tgt)
+
+    B = len(tokens)
+    inp = np.zeros((B, src_len), dtype=np.int32)
+    tin = np.zeros((B, tgt_len), dtype=np.int32)
+    tout = np.zeros((B, tgt_len), dtype=np.int32)
+    for i, (t, di, dt) in enumerate(zip(tokens, dins, dtgts)):
+        inp[i, : min(len(t), src_len)] = t[:src_len]
+        tin[i, : min(len(di), tgt_len)] = di[:tgt_len]
+        tout[i, : min(len(dt), tgt_len)] = dt[:tgt_len]
+    return {
+        "input": inp,
+        "target_in": tin,
+        "target_out": tout,
+        "input_pad_mask": inp == 0,
+        "target_pad_mask": tin == 0,
+    }
+
+
+@dataclass
+class LoaderConfig:
+    batch_size: int = 2  # groups per batch (each group packs <=2200 tokens)
+    bucket: int = 128
+    max_src: int = 2400
+    max_tgt: int = 2400
+    pretraining: bool = True
+
+
+class BatchLoader:
+    """Epoch iterator: shuffle groups, mask, collate.
+
+    Divergence from the reference's length-bucketed random indexing
+    (``dataset.py:59-161``): groups are visited in a seeded random
+    permutation per epoch — same marginal distribution, simpler and
+    deterministic under one RNG.
+    """
+
+    def __init__(
+        self,
+        vocab: WordVocab,
+        batches: Sequence[Sequence[Sequence[str]]],
+        loader_config: LoaderConfig,
+        masking_config: MaskingConfig,
+        seed: int = 99,
+    ):
+        self.vocab = vocab
+        self.batches = list(batches)
+        self.cfg = loader_config
+        self.pipeline = MaskingPipeline(vocab, masking_config, seed=seed)
+        self.rng = np.random.default_rng(seed + 1)
+
+    def __len__(self) -> int:
+        return int(np.ceil(len(self.batches) / self.cfg.batch_size))
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = self.rng.permutation(len(self.batches))
+        bs = self.cfg.batch_size
+        for i in range(0, len(order), bs):
+            groups = []
+            for j in order[i : i + bs]:
+                prepared = self.pipeline.prepare_group(self.batches[j])
+                if self.cfg.pretraining:
+                    groups.append(self.pipeline.random_word(prepared))
+                else:
+                    groups.append(self.pipeline.mask_bars(prepared))
+            batch = collate(
+                groups, self.cfg.bucket, self.cfg.max_src, self.cfg.max_tgt
+            )
+            if batch is not None:
+                yield batch
