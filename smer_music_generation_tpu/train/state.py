@@ -1,0 +1,168 @@
+"""Train state, pjit-sharded train/eval steps, plateau LR schedule.
+
+Replaces the reference's torch training internals (``train.py:555-786``)
+with a functional JAX step: one fused loss (see ``train/loss.py``), Adam
+via optax with an injectable learning rate, and a host-side
+reduce-on-plateau controller mirroring ``ReduceLROnPlateau(patience=2,
+factor=0.5, min_lr=1e-7)`` (``train.py:663``).
+
+The step is jit-compiled with explicit shardings from ``parallel/mesh``:
+batch sharded over ``dp``, params replicated (or TP-sharded under the
+optional rules) — XLA inserts the gradient all-reduce over ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..models.transformer import ModelConfig, ScoreTransformer
+from .loss import build_loss_tables, multihead_ce, per_class_accuracy
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+    lr: jax.Array
+
+    @classmethod
+    def create(cls, params, lr: float):
+        tx = make_optimizer()
+        return cls(
+            params=params,
+            opt_state=tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+            lr=jnp.asarray(lr, jnp.float32),
+        )
+
+
+def make_optimizer():
+    # lr injected per step through the state so plateau decay needs no
+    # re-jit (optax scale_by_learning_rate with a passed-in scalar)
+    return optax.chain(
+        optax.scale_by_adam(),
+        optax.scale(-1.0),
+    )
+
+
+def make_train_step(model: ScoreTransformer, tables: Dict, dropout: bool = True):
+    """Returns step(state, batch, eos_weight, rng) -> (state, metrics)."""
+
+    def step_fn(state: TrainState, batch: Dict, eos_weight, rng):
+        def loss_fn(params):
+            logits, _ = model.apply(
+                params,
+                batch["input"],
+                batch["target_in"],
+                src_pad_mask=batch["input_pad_mask"],
+                tgt_pad_mask=batch["target_pad_mask"],
+                deterministic=not dropout,
+                rngs={"dropout": rng} if dropout else {},
+            )
+            total, per_head = multihead_ce(logits, batch["target_out"], tables, eos_weight)
+            return total, (per_head, logits)
+
+        (loss, (per_head, logits)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        tx = make_optimizer()
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: u * state.lr, updates)
+        new_params = optax.apply_updates(state.params, updates)
+
+        correct_pc, count_pc, total_correct, total_count = per_class_accuracy(
+            logits, batch["target_out"], tables
+        )
+        metrics = {
+            "loss": loss,
+            "accuracy": total_correct / jnp.maximum(total_count, 1),
+            "correct_per_class": correct_pc,
+            "count_per_class": count_pc,
+            **{f"loss/{k}": v for k, v in per_head.items()},
+        }
+        new_state = state.replace(
+            params=new_params, opt_state=new_opt_state, step=state.step + 1
+        )
+        return new_state, metrics
+
+    return step_fn
+
+
+def make_eval_step(model: ScoreTransformer, tables: Dict):
+    def eval_fn(params, batch, eos_weight):
+        logits, _ = model.apply(
+            params,
+            batch["input"],
+            batch["target_in"],
+            src_pad_mask=batch["input_pad_mask"],
+            tgt_pad_mask=batch["target_pad_mask"],
+            deterministic=True,
+        )
+        total, per_head = multihead_ce(logits, batch["target_out"], tables, eos_weight)
+        correct_pc, count_pc, total_correct, total_count = per_class_accuracy(
+            logits, batch["target_out"], tables
+        )
+        return {
+            "loss": total,
+            "accuracy": total_correct / jnp.maximum(total_count, 1),
+            "correct_per_class": correct_pc,
+            "count_per_class": count_pc,
+            **{f"loss/{k}": v for k, v in per_head.items()},
+        }
+
+    return eval_fn
+
+
+@dataclasses.dataclass
+class PlateauScheduler:
+    """Host-side ReduceLROnPlateau (patience 2, x0.5, min 1e-7)."""
+
+    patience: int = 2
+    factor: float = 0.5
+    min_lr: float = 1e-7
+    best: float = float("inf")
+    bad_epochs: int = 0
+
+    def update(self, lr: float, epoch_loss: float) -> float:
+        if epoch_loss < self.best:
+            self.best = epoch_loss
+            self.bad_epochs = 0
+            return lr
+        self.bad_epochs += 1
+        if self.bad_epochs > self.patience:
+            self.bad_epochs = 0
+            return max(lr * self.factor, self.min_lr)
+        return lr
+
+
+def build_model(
+    vocab_size: int,
+    d_model: int = 512,
+    nhead: int = 8,
+    num_layers: int = 4,
+    d_ff: int = 2048,
+    max_len: int = 2400,
+    dropout: float = 0.1,
+    dtype=jnp.float32,
+) -> ScoreTransformer:
+    """The flagship config (reference ``config/config.yaml:26-43``)."""
+    cfg = ModelConfig(
+        vocab_size=vocab_size,
+        d_model=d_model,
+        nhead=nhead,
+        num_encoder_layers=num_layers,
+        num_decoder_layers=num_layers,
+        d_ff=d_ff,
+        max_len=max_len,
+        dropout=dropout,
+        pos_dropout=dropout,
+        dtype=dtype,
+    )
+    return ScoreTransformer(cfg)
