@@ -1,0 +1,159 @@
+"""Jitted batched KV-cache infill decode loop.
+
+The reference re-runs the FULL encoder + decoder prefix for every emitted
+token and resamples rejected tokens on the host (``generation.py:209-225,
+528-652``) — for an infill of M spans x T tokens that is M*T transformer
+forwards.  Here the entire infill session is ONE compiled XLA program:
+
+* encoder runs once; per-layer cross K/V are projected once;
+* a ``lax.while_loop`` steps the decoder with O(1) new work per token
+  against a preallocated self-attention cache;
+* grammar constraints are dense mask lookups (``infer/grammar.py``) and
+  sampling is masked nucleus/temperature (``infer/sampling.py``);
+* span boundaries are handled in-loop: on <eos> / span cap the next ``m_0``
+  is forced and the per-element span index advances; control-slot spans
+  (density/occupation/polyphony/tensile) emit exactly their one control
+  token.  Everything is batched — elements can be in different spans.
+
+Output follows the reference's decoder-stream convention: concatenated
+spans, each introduced by ``m_0``, with no <eos> tokens (the reference
+drops them via ``this_tgt_inp[:-1]``), ready for ``restore_marked_input``.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.transformer import ScoreTransformer
+from ..vocab import WordVocab
+from .grammar import SPAN_BODY, GrammarState, GrammarTables, allowed_mask, update_flags
+from .sampling import greedy_sample, masked_sample
+
+
+class DecodeResult(NamedTuple):
+    tokens: jax.Array  # (B, max_tgt) int32, pad 0
+    lengths: jax.Array  # (B,) int32 valid length per element
+    steps: jax.Array  # scalar int32: loop iterations executed
+
+
+@dataclass(eq=False)  # identity hash: the instance is a static jit argument
+class InfillDecoder:
+    """Compiled infill decoder bound to one model + vocab."""
+
+    model: ScoreTransformer
+    vocab: WordVocab
+    max_tgt_len: int = 1024
+    max_spans: int = 160
+    span_cap: int = 100  # tokens per span incl. the introducing m_0
+    nucleus_p: Optional[float] = 0.9
+    temperature: float = 1.0
+    greedy: bool = False
+
+    def __post_init__(self):
+        self.tables = GrammarTables.build(self.vocab)
+        self._decode_jit = jax.jit(self._decode, static_argnames=("self",))
+
+    # -- public API -----------------------------------------------------
+    def __call__(
+        self,
+        params,
+        src: np.ndarray,  # (B, S) int32, 0-padded
+        span_types: np.ndarray,  # (B, max_spans) int32 span codes
+        n_spans: np.ndarray,  # (B,) int32
+        no_whole_duration: bool,
+        rng: jax.Array,
+    ) -> DecodeResult:
+        src = jnp.asarray(src, dtype=jnp.int32)
+        span_types = jnp.asarray(span_types, dtype=jnp.int32)
+        n_spans = jnp.asarray(n_spans, dtype=jnp.int32)
+        return self._decode_jit(
+            self, params, src, span_types, n_spans,
+            jnp.asarray(no_whole_duration), rng,
+        )
+
+    # -- the compiled program -------------------------------------------
+    @staticmethod
+    def _decode(self, params, src, span_types, n_spans, no_whole, rng) -> DecodeResult:
+        model, t = self.model, self.tables
+        B = src.shape[0]
+        L = self.max_tgt_len
+
+        src_pad = src == 0
+        memory = model.apply(params, src, src_pad, method=ScoreTransformer.encode)
+        cross = model.apply(params, memory, method=ScoreTransformer.init_cross_cache)
+        cache = model.apply(params, B, L, method=ScoreTransformer.init_self_cache)
+
+        out = jnp.zeros((B, L), dtype=jnp.int32).at[:, 0].set(t.mask_index)
+        state = GrammarState.zeros(B)
+        steps_in_span = jnp.ones((B,), jnp.int32)
+        span_idx = jnp.zeros((B,), jnp.int32)
+        done = n_spans <= 0
+        lengths = jnp.ones((B,), jnp.int32)
+
+        def cond(carry):
+            pos, done, *_ = carry
+            return (pos + 1 < L) & jnp.any(~done)
+
+        def body(carry):
+            pos, done, out, cache, state, steps_in_span, span_idx, lengths, rng = carry
+            token = out[:, pos]
+            logits, cache = model.apply(
+                params, token, pos, cache, cross, src_pad,
+                method=ScoreTransformer.decode_step,
+            )
+
+            cur_type = span_types[jnp.arange(B), jnp.minimum(span_idx, self.max_spans - 1)]
+            is_start = steps_in_span == 1
+            allowed = allowed_mask(t, state, is_start, cur_type, no_whole)
+
+            rng, sub = jax.random.split(rng)
+            if self.greedy:
+                sampled = greedy_sample(logits, allowed)
+            else:
+                sampled = masked_sample(
+                    sub, logits, allowed, self.nucleus_p, self.temperature
+                )
+
+            control_done = (cur_type != SPAN_BODY) & (steps_in_span >= 2)
+            end_span = (
+                (sampled == t.eos_index)
+                | (steps_in_span + 1 >= self.span_cap)
+                | control_done
+            )
+            new_span_idx = jnp.where(end_span, span_idx + 1, span_idx)
+            now_done = done | (new_span_idx >= n_spans)
+
+            next_tok = jnp.where(end_span, t.mask_index, sampled)
+            next_tok = jnp.where(now_done | done, 0, next_tok)
+
+            new_state = update_flags(t, state, sampled)
+            reset = end_span | done
+            new_state = GrammarState(*(jnp.where(reset, False, f) for f in new_state))
+            new_steps = jnp.where(end_span, 1, steps_in_span + 1)
+
+            out = out.at[:, pos + 1].set(next_tok)
+            lengths = jnp.where(next_tok != 0, pos + 2, lengths)
+            return (pos + 1, now_done, out, cache, new_state, new_steps,
+                    new_span_idx, lengths, rng)
+
+        pos0 = jnp.int32(0)
+        carry = (pos0, done, out, cache, state, steps_in_span, span_idx, lengths, rng)
+        pos, done, out, cache, state, steps_in_span, span_idx, lengths, rng = (
+            jax.lax.while_loop(cond, body, carry)
+        )
+        return DecodeResult(tokens=out, lengths=lengths, steps=pos)
+
+
+def pad_to_bucket(ids: np.ndarray, bucket: int = 256, cap: int = 2400) -> np.ndarray:
+    """Pad a (B, S) id matrix to a bucketed length to bound recompiles."""
+    S = ids.shape[1]
+    target = min(int(np.ceil(max(S, 1) / bucket)) * bucket, cap)
+    if target <= S:
+        return ids[:, :target]
+    return np.pad(ids, ((0, 0), (0, target - S)))

@@ -1,0 +1,378 @@
+"""Host-side infilling orchestration around the jitted decode loop.
+
+Equivalent of reference ``generation.py:230-877``: build the masked source,
+run the (batched, compiled) decoder, splice results back, repair bar
+durations, rewrite controls from the UI dict.  The per-token model calls
+and grammar checks all live on device (``infer/decode.py``); this module is
+pure numpy/python string work.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..codec.durations import DurationTable, duration_table_for_signature
+from ..codec.structure import bar_with_track_positions, track_names_of
+from ..data.masking import copy_bar_controls_to_end
+from ..vocab import WordVocab
+from .decode import InfillDecoder, pad_to_bucket
+from .grammar import SPAN_CODE
+
+TOTAL_TRACK_CONTROL_TYPES = 3
+
+
+def fill_empty_bars(
+    events: List[str],
+    generate_bar_number: int,
+    table: DurationTable,
+) -> List[str]:
+    """Extend the song with placeholder bars to be infilled.
+
+    Divergence from reference ``generation.py:230-245``: the reference
+    emits legacy tokens (``a_0``, ``rest_e``) that are not in its own
+    vocabulary; here the appended bars follow the live control-mode-2
+    layout (``s_2`` tension slot, neutral ``d_0 o_0 y_0`` controls, full-bar
+    rest) so every token is encodable.
+    """
+    bar_duration_list = table.time_to_names(table.bar_duration)
+    track_names = track_names_of(events)
+    for _ in range(generate_bar_number):
+        events.append("bar")
+        events.append("s_2")
+        for name in track_names:
+            events.append(name)
+            events.extend(["d_0", "o_0", "y_0"])
+            events.append("rest")
+            events.extend(bar_duration_list)
+            events.extend(["d_0", "o_0", "y_0"])
+        events.append("s_2")
+    return events
+
+
+def mask_bar_and_track(
+    events: Sequence[str],
+    vocab: WordVocab,
+    mask_tracks: Sequence[int],
+    mask_bars: Sequence[int],
+) -> Optional[Tuple[np.ndarray, List[int], List[int], List[int]]]:
+    """Replace (bar, track) bodies and their end-control slots with ``m_0``.
+
+    Returns (src ids, span type codes, masked track ids, masked bar ids).
+    Expects the control-mode-2 serving layout: per-track leading ``d o y``,
+    trailing ``d o y`` copies, and a trailing tensile copy on the last
+    track of each bar (reference ``generation.py:248-341``).
+    """
+    track_names, bar_poses, bars = bar_with_track_positions(events)
+    masked_pairs: List[Tuple[int, int]] = []
+    span_codes: List[int] = []
+    mask_bar_names: List[int] = []
+    mask_track_names: List[int] = []
+
+    for bar_num in mask_bars:
+        if bar_num >= len(bars):
+            return None
+        for track_pos, (track_start, track_end) in enumerate(bars[bar_num]):
+            if track_pos not in mask_tracks:
+                continue
+            mask_bar_names.append(bar_num)
+            mask_track_names.append(track_pos)
+            token_start = track_start + TOTAL_TRACK_CONTROL_TYPES
+            tensile_end = (
+                1 if events[track_end - 1] in vocab.name_to_tokens.get("tensile", []) else 0
+            )
+            token_end = track_end - TOTAL_TRACK_CONTROL_TYPES - tensile_end
+            masked_pairs.append((token_start, token_end))
+            span_codes.append(SPAN_CODE["r"])
+            for i, code in enumerate(["d", "o", "p", "t"][: TOTAL_TRACK_CONTROL_TYPES + tensile_end]):
+                masked_pairs.append((token_end + i, token_end + 1 + i))
+                span_codes.append(SPAN_CODE[code])
+
+    if not masked_pairs:
+        return None
+
+    token_events = list(events)
+    order = sorted(range(len(masked_pairs)), key=lambda i: masked_pairs[i][0])
+    span_codes = [span_codes[i] for i in order]
+    pairs_sorted = [masked_pairs[i] for i in order]
+    for lo, hi in reversed(pairs_sorted):
+        del token_events[lo:hi]
+        token_events.insert(lo, "m_0")
+
+    src = np.array([vocab.char2index(tok) for tok in token_events], dtype=np.int32)
+    return src, span_codes, mask_track_names, mask_bar_names
+
+
+def restore_marked_input(
+    src_tokens: Sequence[str], generated_output: Sequence[str]
+) -> List[str]:
+    """Splice generated spans back into the masked source.
+
+    ``generated_output`` is the decoder stream: spans concatenated, each
+    introduced by ``m_0`` (reference ``generation.py:417-465``).
+    """
+    gen = list(generated_output)
+    mask_positions = [i for i, tok in enumerate(gen) if tok == "m_0"]
+    spans: List[List[str]] = []
+    for i, start in enumerate(mask_positions):
+        end = mask_positions[i + 1] if i + 1 < len(mask_positions) else len(gen)
+        spans.append(gen[start + 1 : end])
+
+    out: List[str] = []
+    si = 0
+    for tok in src_tokens:
+        if tok == "m_0" and si < len(spans):
+            out.extend(spans[si])
+            si += 1
+        else:
+            out.append(tok)
+    return out
+
+
+def check_track_total_time(
+    events: List[str], table: DurationTable
+) -> Tuple[bool, List[str]]:
+    """Verify a generated track body closes its bar exactly; repair if not.
+
+    Simulates the event VM's cursor (``rest`` advances, ``sep`` rewinds to
+    the previous group's start) and rewrites the final duration group so
+    the track sums to the bar duration (reference ``generation.py:344-414``
+    / ``evaluation.py:740-818``; those versions treat ``sep`` groups as
+    plain advances via a dead legacy ``rest_s`` branch — this one accounts
+    for the rewind, matching the decoder's actual timing).
+    """
+    bar_duration = table.bar_duration
+    if len(events) == 0:
+        parts = table.time_to_names(bar_duration)
+        return False, ["rest"] + parts
+
+    current = 0.0
+    previous_duration = 0.0
+    duration_list: List[str] = []
+    in_duration = False
+    is_sep = False
+    new_events: List[str] = []
+    last_group_time = 0.0
+    truncated = False
+
+    for i, event in enumerate(events):
+        new_events.append(event)
+        if in_duration and event not in table.name_to_time:
+            last_group_time = table.total_duration(duration_list)
+            start = current - previous_duration if is_sep else current
+            current = start + last_group_time
+            previous_duration = last_group_time
+            in_duration = False
+            is_sep = False
+            if current >= bar_duration:
+                truncated = i < len(events) - 1
+                break
+            duration_list = []
+        if event in table.name_to_time:
+            in_duration = True
+            duration_list.append(event)
+            continue
+        if event == "sep":
+            is_sep = True
+
+    else:
+        if duration_list:
+            last_group_time = table.total_duration(duration_list)
+            start = current - previous_duration if is_sep else current
+            current = start + last_group_time
+
+    while new_events and new_events[-1] not in table.name_to_time:
+        new_events.pop()
+    if abs(current - bar_duration) < 1e-9:
+        # exact close; a truncated stream still needs the caller to adopt
+        # the trimmed body
+        return (not truncated), new_events
+    if current == 0.0 or not new_events:
+        parts = table.time_to_names(bar_duration)
+        return False, ["rest"] + parts
+
+    adjusted = last_group_time + (bar_duration - current)
+    if adjusted <= 0:
+        adjusted = table.sixteenth
+    parts = table.time_to_names(adjusted)
+    for _ in range(len(duration_list)):
+        new_events.pop()
+    new_events.extend(parts)
+    return False, new_events
+
+
+def change_controls(original_event: List[str], controls: Dict, vocab: WordVocab) -> List[str]:
+    """Rewrite control tokens from the UI dict then copy them to span ends
+    (reference ``generation.py:698-877``)."""
+    event = list(original_event)
+    arr = np.array(event)
+    track_names = track_names_of(event)
+    track_nums = len(track_names)
+    bar_poses = np.where(arr == "bar")[0]
+
+    header = event[: bar_poses[0]]
+    d_pos = [i for i, tok in enumerate(header) if tok.startswith("d_")]
+    o_pos = [i for i, tok in enumerate(header) if tok.startswith("o_")]
+    y_pos = [i for i, tok in enumerate(header) if tok.startswith("y_")]
+
+    for t_num in range(track_nums):
+        key = f"track_{track_names[t_num][-1]}_c"
+        if key not in controls:
+            continue
+        if t_num < len(d_pos):
+            event[d_pos[t_num]] = f"d_{controls[key]['density']}"
+        if t_num < len(o_pos):
+            event[o_pos[t_num]] = f"o_{controls[key]['occupation']}"
+        if t_num < len(y_pos):
+            event[y_pos[t_num]] = f"y_{controls[key]['polyphony']}"
+
+    _, _, bars = bar_with_track_positions(event)
+
+    if controls.get("bar_track") == 0:
+        for bar_num, tracks_in_bar in enumerate(bars):
+            for track_pos, (track_start, _) in enumerate(tracks_in_bar):
+                name = track_names[track_pos]
+                bd = controls["bar_density"][name][bar_num]
+                bo = controls["bar_occupation"][name][bar_num]
+                bp = controls["bar_polyphony"][name][bar_num]
+                event[track_start] = "unk" if bd == 10 else f"d_{bd}"
+                event[track_start + 1] = "unk" if bo == 10 else f"o_{bo}"
+                event[track_start + 2] = "unk" if bp == 10 else f"y_{bp}"
+    else:
+        for bar_num, tracks_in_bar in enumerate(bars):
+            if controls.get("s_bar", 0) <= bar_num <= controls.get("e_bar", len(bars)):
+                for track_pos, (track_start, _) in enumerate(tracks_in_bar):
+                    if controls.get(track_names[track_pos]) == 0:
+                        event[track_start] = "unk"
+                        event[track_start + 1] = "unk"
+                        event[track_start + 2] = "unk"
+
+    return copy_bar_controls_to_end(event, vocab, TOTAL_TRACK_CONTROL_TYPES, True)
+
+
+# ---------------------------------------------------------------------------
+# The infilling engine
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class InfillResult:
+    events: List[str]  # restored full stream
+    generated: List[str]  # raw decoder stream (m_0-separated spans)
+    mask_tracks: List[int]
+    mask_bars: List[int]
+    decode_steps: int
+
+
+class InfillEngine:
+    """generation_all equivalent (reference ``generation.py:468-696``).
+
+    One object holds the compiled decoder; each call masks the requested
+    (bar, track) slots, runs the device decode loop once, restores the
+    stream and repairs bar durations host-side (bounded retries around a
+    fresh jitted decode, reference ``evaluation.py:1300-1397``).
+    """
+
+    def __init__(
+        self,
+        model,
+        params,
+        vocab: WordVocab,
+        nucleus_p: Optional[float] = 0.9,
+        temperature: float = 1.0,
+        greedy: bool = False,
+        max_tgt_len: int = 1024,
+        max_time_fix_attempts: int = 10,
+    ):
+        self.model = model
+        self.params = params
+        self.vocab = vocab
+        self.max_time_fix_attempts = max_time_fix_attempts
+        self.decoder = InfillDecoder(
+            model,
+            vocab,
+            max_tgt_len=max_tgt_len,
+            nucleus_p=nucleus_p,
+            temperature=temperature,
+            greedy=greedy,
+        )
+
+    def __call__(
+        self,
+        events: Sequence[str],
+        tracks_to_generate: Sequence[int],
+        bars_to_generate: Sequence[int],
+        rng,
+        fix_durations: bool = True,
+    ) -> Optional[InfillResult]:
+        import jax
+
+        events = list(events)
+        numerator = int(events[0].split("/")[0])
+        denominator = int(events[0].split("/")[1])
+        table = duration_table_for_signature((numerator, denominator), tempo=60.0)
+        no_whole_duration = not (numerator >= 4 and denominator == 4)
+
+        track_names = track_names_of(events)
+        track_ids = [track_names.index(f"track_{t}") for t in tracks_to_generate]
+
+        n_bars = len([e for e in events if e == "bar"])
+        if bars_to_generate and bars_to_generate[-1] >= n_bars:
+            events = fill_empty_bars(events, bars_to_generate[-1] - n_bars + 1, table)
+
+        result = mask_bar_and_track(events, self.vocab, track_ids, bars_to_generate)
+        if result is None:
+            return None
+        src, span_codes, mask_track_names, mask_bar_names = result
+
+        max_spans = self.decoder.max_spans
+        span_types = np.zeros((1, max_spans), dtype=np.int32)
+        span_types[0, : len(span_codes)] = span_codes
+        n_spans = np.array([len(span_codes)], dtype=np.int32)
+
+        src_b = pad_to_bucket(src[None, :])
+        out = self.decoder(
+            self.params, src_b, span_types, n_spans, no_whole_duration, rng
+        )
+        tokens = np.asarray(out.tokens[0][: int(out.lengths[0])])
+        generated = [self.vocab.index2char(i) for i in tokens]
+
+        src_tokens = [self.vocab.index2char(int(i)) for i in src]
+        restored = restore_marked_input(src_tokens, generated)
+
+        if fix_durations:
+            restored = self._repair_durations(restored, table)
+
+        return InfillResult(
+            events=restored,
+            generated=generated,
+            mask_tracks=mask_track_names,
+            mask_bars=mask_bar_names,
+            decode_steps=int(out.steps),
+        )
+
+    # ------------------------------------------------------------------
+    def _repair_durations(self, events: List[str], table: DurationTable) -> List[str]:
+        """Check every track body sums to the bar duration; rewrite tails."""
+        _, _, bars = bar_with_track_positions(events)
+        out = list(events)
+        # walk bars in reverse so earlier indices stay valid after edits
+        for tracks_in_bar in reversed(bars):
+            for track_start, track_end in reversed(tracks_in_bar):
+                tensile_end = (
+                    1
+                    if out[track_end - 1] in self.vocab.name_to_tokens.get("tensile", [])
+                    or (track_end - 1 < len(out) and out[track_end - 1] == "unk")
+                    else 0
+                )
+                body_start = track_start + TOTAL_TRACK_CONTROL_TYPES
+                body_end = track_end - TOTAL_TRACK_CONTROL_TYPES - tensile_end
+                if body_end <= body_start:
+                    continue
+                body = out[body_start:body_end]
+                ok, fixed = check_track_total_time(body, table)
+                if not ok:
+                    out[body_start:body_end] = fixed
+        return out

@@ -1,0 +1,219 @@
+"""Inference engine tests: grammar masks, decode well-formedness, restore,
+duration repair — the minimum end-to-end infilling slice on a tiny model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smer_music_generation_tpu.codec.annotate import encode_midi
+from smer_music_generation_tpu.codec.durations import duration_table_for_signature
+from smer_music_generation_tpu.codec.smer import events_to_midi
+from smer_music_generation_tpu.codec.structure import bar_with_track_positions
+from smer_music_generation_tpu.infer.engine import (
+    InfillEngine,
+    change_controls,
+    check_track_total_time,
+    mask_bar_and_track,
+    restore_marked_input,
+)
+from smer_music_generation_tpu.infer.grammar import (
+    SPAN_BODY,
+    SPAN_DENSITY,
+    SPAN_TENSILE,
+    GrammarState,
+    GrammarTables,
+    allowed_mask,
+    update_flags,
+)
+from smer_music_generation_tpu.models.transformer import ModelConfig, ScoreTransformer
+from smer_music_generation_tpu.vocab import CONTROL_SETS, WordVocab
+from tests.test_annotate import make_two_track_score
+
+
+@pytest.fixture(scope="module")
+def vocab():
+    return WordVocab(0, CONTROL_SETS[5])
+
+
+@pytest.fixture(scope="module")
+def tables(vocab):
+    return GrammarTables.build(vocab)
+
+
+@pytest.fixture(scope="module")
+def mode2_events(vocab):
+    """Serving stream with end-of-track control copies (control mode 2)."""
+    score = make_two_track_score()
+    events, controls = encode_midi(
+        score, controls={"key": None}, track_names=["track_0", "track_1"]
+    )
+    controls["bar_track"] = 0
+    controls["track_0_c"] = controls["track_0"]
+    controls["track_1_c"] = controls["track_1"]
+    return change_controls(events, controls, vocab), controls
+
+
+def test_grammar_start_states(tables, vocab):
+    state = GrammarState.zeros(2)
+    is_start = jnp.array([True, True])
+    span_type = jnp.array([SPAN_BODY, SPAN_DENSITY], dtype=jnp.int32)
+    mask = np.asarray(allowed_mask(tables, state, is_start, span_type, False))
+    # body start: pitch/rest/sep/eos allowed, durations and controls banned
+    assert mask[0, vocab.pitch_indices[0]]
+    assert mask[0, vocab.rest_indices[0]]
+    assert mask[0, vocab.eos_index]
+    assert not mask[0, vocab.duration_only_indices[0]]
+    assert not mask[0, vocab.control_indices["density"][0]]
+    assert not mask[0, vocab.program_indices[0]]
+    assert not mask[0, vocab.pad_index]
+    # density-slot start: only d_* tokens
+    want = np.zeros(vocab.vocab_size, bool)
+    want[vocab.control_indices["density"]] = True
+    np.testing.assert_array_equal(mask[1], want)
+
+
+def test_grammar_state_priorities(tables, vocab):
+    # in_rest: only durations (minus whole when flagged)
+    state = GrammarState(
+        in_sep=jnp.array([False]), in_continue=jnp.array([False]),
+        in_pitch=jnp.array([False]), in_rest=jnp.array([True]),
+    )
+    mask = np.asarray(allowed_mask(
+        tables, state, jnp.array([False]), jnp.array([SPAN_BODY]), True
+    ))[0]
+    assert set(np.where(mask)[0]) == set(vocab.duration_only_indices[1:])  # no whole
+    # in_continue: only pitch
+    state = GrammarState(
+        in_sep=jnp.array([False]), in_continue=jnp.array([True]),
+        in_pitch=jnp.array([False]), in_rest=jnp.array([False]),
+    )
+    mask = np.asarray(allowed_mask(
+        tables, state, jnp.array([False]), jnp.array([SPAN_BODY]), False
+    ))[0]
+    assert set(np.where(mask)[0]) == set(vocab.pitch_indices)
+    # in_sep outranks in_pitch
+    state = GrammarState(
+        in_sep=jnp.array([True]), in_continue=jnp.array([False]),
+        in_pitch=jnp.array([True]), in_rest=jnp.array([False]),
+    )
+    mask = np.asarray(allowed_mask(
+        tables, state, jnp.array([False]), jnp.array([SPAN_BODY]), False
+    ))[0]
+    assert not mask[vocab.eos_index]
+    assert not mask[vocab.rest_indices[0]]
+    assert mask[vocab.continue_index]
+
+
+def test_grammar_transitions(tables, vocab):
+    s = GrammarState.zeros(1)
+    s = update_flags(tables, s, jnp.array([vocab.sep_indices[0]]))
+    assert bool(s.in_sep[0])
+    s = update_flags(tables, s, jnp.array([vocab.pitch_indices[5]]))
+    assert not bool(s.in_sep[0]) and bool(s.in_pitch[0])
+    s = update_flags(tables, s, jnp.array([vocab.duration_only_indices[2]]))
+    assert not bool(s.in_pitch[0])
+    s = update_flags(tables, s, jnp.array([vocab.continue_index]))
+    assert bool(s.in_continue[0])
+
+
+def test_restore_marked_input():
+    src = ["a", "m_0", "b", "m_0", "c"]
+    generated = ["m_0", "x", "y", "m_0", "z"]
+    assert restore_marked_input(src, generated) == ["a", "x", "y", "b", "z", "c"]
+
+
+def test_check_track_total_time(vocab):
+    table = duration_table_for_signature((4, 4), 60.0)
+    ok, fixed = check_track_total_time(["p_60", "whole"], table)
+    assert ok and fixed == ["p_60", "whole"]
+    # short body gets its tail extended
+    ok, fixed = check_track_total_time(["p_60", "half"], table)
+    assert not ok
+    assert fixed[0] == "p_60"
+    assert table.total_duration(fixed[1:]) == pytest.approx(table.bar_duration)
+    # overlong body gets truncated at the bar
+    ok, fixed = check_track_total_time(
+        ["p_60", "half", "p_62", "half", "p_64", "half"], table
+    )
+    assert not ok
+    assert fixed == ["p_60", "half", "p_62", "half"]
+    # sep rewind accounted: chord 0..2, overlapping note at beat 2 (sep
+    # rewinds to the chord start then advances by the offset), rest to end
+    ok, fixed = check_track_total_time(
+        ["p_60", "p_64", "half", "sep", "quarter", "p_72",
+         "quarter", "eighth", "sixteenth", "rest", "quarter", "sixteenth"],
+        table,
+    )
+    assert ok
+
+
+def test_mask_bar_and_track_spans(vocab, mode2_events):
+    events, _ = mode2_events
+    res = mask_bar_and_track(events, vocab, [0], [2, 3])
+    assert res is not None
+    src, span_codes, mask_tracks, mask_bars = res
+    # 2 bars x 1 track -> body + d + o + y per slot (track 0 is not the
+    # last track, so no tensile span)
+    assert len(span_codes) == 2 * 4
+    assert mask_bars == [2, 3]
+    n_masks = int(np.sum(src == vocab.mask_index))
+    assert n_masks == len(span_codes)
+
+
+def test_mask_last_track_gets_tensile_span(vocab, mode2_events):
+    events, _ = mode2_events
+    res = mask_bar_and_track(events, vocab, [1], [0])
+    src, span_codes, _, _ = res
+    assert len(span_codes) == 5  # body + d,o,y + tensile
+    assert span_codes[-1] == SPAN_TENSILE
+
+
+@pytest.fixture(scope="module")
+def tiny_engine(vocab):
+    cfg = ModelConfig(
+        vocab_size=vocab.vocab_size, d_model=32, nhead=4, num_encoder_layers=1,
+        num_decoder_layers=1, d_ff=64, max_len=2048, dropout=0.0, pos_dropout=0.0,
+    )
+    model = ScoreTransformer(cfg)
+    src = jnp.ones((1, 8), dtype=jnp.int32)
+    tgt = jnp.ones((1, 8), dtype=jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, src, tgt)
+    return InfillEngine(
+        model, params, vocab, nucleus_p=0.9, temperature=1.0, max_tgt_len=512
+    )
+
+
+def test_end_to_end_infill_well_formed(vocab, mode2_events, tiny_engine):
+    """Random-weight model; the grammar must still force well-formed spans."""
+    events, _ = mode2_events
+    result = tiny_engine(events, tracks_to_generate=[0], bars_to_generate=[1, 2],
+                         rng=jax.random.PRNGKey(42))
+    assert result is not None
+    out = result.events
+    assert "m_0" not in out
+    # still 16 bars, same header
+    assert out[:3] == events[:3]
+    assert out.count("bar") == 16
+    # every token encodable
+    vocab.encode(out)
+    # masked track bodies close their bars exactly after repair
+    table = duration_table_for_signature((4, 4), 60.0)
+    _, _, bars = bar_with_track_positions(out)
+    for bar_num in (1, 2):
+        track_start, track_end = bars[bar_num][0]
+        tensile_end = 1 if out[track_end - 1].startswith("s_") else 0
+        body = out[track_start + 3 : track_end - 3 - tensile_end]
+        ok, _ = check_track_total_time(body, table)
+        assert ok, f"bar {bar_num} body does not close: {body}"
+    # the stream still decodes to MIDI
+    midi = events_to_midi(out, 100.0)
+    assert midi is not None
+
+
+def test_infill_extends_song(vocab, mode2_events, tiny_engine):
+    events, _ = mode2_events
+    result = tiny_engine(events, tracks_to_generate=[0, 1], bars_to_generate=[16, 17],
+                         rng=jax.random.PRNGKey(7))
+    assert result is not None
+    assert result.events.count("bar") == 18
