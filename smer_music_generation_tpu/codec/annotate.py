@@ -72,22 +72,28 @@ def add_control_events(
     key: str,
     tensiles: Optional[Sequence[int]],
     score: MidiScore,
+    remove_continue: bool = True,
+    add_bar: bool = True,
 ) -> Optional[Tuple[List[str], Dict]]:
     """Insert key/track/bar control tokens and build the UI controls dict.
 
-    Reference ``remove_continue_add_control_event`` (``encode.py:559-804``):
-    strips first-bar ``continue``, bins the tempo, inserts ``k_*`` at slot 2,
-    song-level ``d/o/y`` triplets after it, ``s_*`` after each ``bar`` and
-    per-bar-track ``d o y`` after each ``track_i``.
+    Reference ``remove_continue_add_control_event`` (``encode.py:559-804``,
+    corpus twin ``create_dataset.py:273-504``): optionally strips first-bar
+    ``continue``, bins the tempo, inserts ``k_*`` at slot 2, song-level
+    ``d/o/y`` triplets after it, ``s_*`` after each ``bar`` and (with
+    ``add_bar``) per-bar-track ``d o y`` after each ``track_i``.
     """
     file_events = np.array(file_events)
     num_of_tracks = len(header_events) - 2
 
     bar_pos = np.where(file_events == "bar")[0]
-    events: List[str] = [
-        e for idx, e in enumerate(file_events)
-        if not (e == "continue" and idx < bar_pos[1])
-    ]
+    if remove_continue and len(bar_pos) > 1:
+        events: List[str] = [
+            e for idx, e in enumerate(file_events)
+            if not (e == "continue" and idx < bar_pos[1])
+        ]
+    else:
+        events = list(file_events)
     events = list(header_events) + events
 
     all_controls: Dict = {
@@ -171,6 +177,12 @@ def add_control_events(
         all_controls[name] = {
             "instrument": 10, "density": 10, "polyphony": 10, "occupation": 10,
         }
+
+    if not add_bar:
+        all_controls["track_nums"] = num_of_tracks
+        all_controls["tensile"] = list(tensiles) if tensiles is not None else None
+        all_controls["bar_nums"] = len(bar_pos)
+        return events, all_controls
 
     for track_idx, name in enumerate(track_names):
         bar_occ_cat = to_category(bar_occupation[track_idx], CONTROL_BINS)

@@ -462,6 +462,27 @@ def midi_to_events(
 # ---------------------------------------------------------------------------
 
 
+def remove_empty_tracks(score: MidiScore, min_occupation: float = 0.3) -> Optional[MidiScore]:
+    """Drop instruments occupying < 30% of 16th slots (reference
+    ``preprocessing.py:92-113`` / ``encode.py:537-556``); None for songs
+    shorter than 20 beats."""
+    beats = score.get_beats()
+    if len(beats) < 20:
+        return None
+    fs = 4 / (beats[1] - beats[0])
+    keep = []
+    for inst in score.instruments:
+        roll = inst.get_piano_roll(fs=fs)
+        if roll.shape[1] == 0:
+            rate = 0.0
+        else:
+            rate = np.count_nonzero(np.any(roll, 0)) / roll.shape[1]
+        if rate >= min_occupation:
+            keep.append(inst)
+    score.instruments = keep
+    return score
+
+
 def remove_control_event(events: Sequence[str], control_tokens: Sequence[str]) -> List[str]:
     control = set(control_tokens)
     return [e for e in events if e not in control]

@@ -1,0 +1,312 @@
+"""Corpus build pipeline: whole songs -> annotated 16-bar training windows.
+
+Reimplements reference ``create_dataset.py`` on this framework's codec +
+feature engine:
+
+* :func:`process_song` — tension/key on the full song (spiral + 3-profile
+  vote requiring >= 3 agreement, ``create_dataset.py:802-871``), slice into
+  16-bar windows with stride 8 (``bar_pos[::8]``, ``:920``), annotate each
+  window with control tokens, optional key-shift augmentation;
+* :func:`shift_event_keys` / :func:`shift_event_keys_with_direction` — the
+  pitch-transposition augmentations (``:638-770``; the half-broken copy in
+  the reference's ``dataset.py:1255`` is intentionally not reproduced);
+* :func:`build_corpus` — MIDI files -> pickled window lists, fanned out
+  over processes (``gen_batches``, ``:1463-1488``).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import random
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..codec.annotate import add_control_events, tempo_to_token
+from ..codec.midi import MidiScore, read_midi
+from ..codec.remi import remi_to_midi, smer_to_remi
+from ..codec.smer import (
+    CORPUS_VELOCITIES,
+    events_to_midi,
+    midi_to_events,
+    remove_empty_tracks,
+)
+from ..codec.structure import programs_of
+from ..features.keyvote import vote_key
+from ..features.tension import score_tension
+from ..vocab import (
+    ALL_MAJOR_NAMES,
+    ALL_MINOR_NAMES,
+    ALL_KEY_NAMES,
+    KEY_TO_TOKEN,
+)
+
+WINDOW_BARS = 16
+WINDOW_STRIDE = 8
+
+
+def _shift_pitch_token(token: str, shift: int) -> str:
+    pitch = int(token[2:]) + shift
+    if pitch > 108:
+        pitch -= 12
+    if pitch < 21:
+        pitch += 12
+    return f"p_{pitch}"
+
+
+def shift_event_keys(event: Sequence[str], rng: Optional[np.random.Generator] = None) -> List[List[str]]:
+    """Random transpositions by 5 of the shifts in [-5, 6] (non-4/4 path)."""
+    rng = rng or np.random.default_rng()
+    out = []
+    for shift in rng.choice(np.arange(-5, 7), 5, replace=False):
+        if shift == 0:
+            continue
+        out.append([
+            _shift_pitch_token(t, int(shift)) if t.startswith("p_") and t[2:].isdigit() else t
+            for t in event
+        ])
+    return out
+
+
+# major keys with closely-related transposition targets (reference
+# create_dataset.py:678-704; the duplicate `E major`/`B- major` branches in
+# that chain are unreachable and not reproduced)
+_MAJOR_TARGETS = {
+    "A major": ["E major"],
+    "E major": ["A major", "D major"],
+    "G major": ["B major"],
+    "B major": ["G major", "F major"],
+    "B- major": ["E- major"],
+    "E- major": ["B- major"],
+    "A- major": ["D- major"],
+}
+
+_SHIFTABLE_MINORS = ["A minor", "E minor", "D minor", "C minor", "G minor", "F minor"]
+
+
+def shift_event_keys_with_direction(
+    event: Sequence[str], rng: Optional[np.random.Generator] = None
+) -> List[List[str]]:
+    """Key-aware transposition: majors to selected neighbours, common minors
+    to every minor key (reference ``create_dataset.py:668-770``)."""
+    rng = rng or np.random.default_rng()
+    out: List[List[str]] = []
+    key_idx = int(event[2][2:])
+    this_key = ALL_KEY_NAMES[key_idx]
+    mode = this_key.split()[1]
+
+    def transpose(shift: int, new_key_name: str) -> List[str]:
+        shifted = [
+            _shift_pitch_token(t, shift) if t.startswith("p_") and t[2:].isdigit() else t
+            for t in event
+        ]
+        shifted[2] = KEY_TO_TOKEN[new_key_name]
+        return shifted
+
+    if mode == "major":
+        if rng.random() > 0.5 and this_key in _MAJOR_TARGETS:
+            names = ALL_MAJOR_NAMES
+            key_pos = int(np.where(names == this_key)[0][0])
+            for target in _MAJOR_TARGETS[this_key]:
+                target_pos = int(np.where(names == target)[0][0])
+                shift = target_pos - key_pos
+                out.append(transpose(shift, target))
+    else:
+        if this_key in _SHIFTABLE_MINORS:
+            names = ALL_MINOR_NAMES
+            key_pos = int(np.where(names == this_key)[0][0])
+            for shift in range(-5, 7):
+                if shift == 0:
+                    continue
+                new_idx = (key_pos + shift) % 12
+                out.append(transpose(shift, str(names[new_idx])))
+    return out
+
+
+def annotate_window(
+    window_events: Sequence[str],
+    header_events: Sequence[str],
+    key: str,
+    tensiles: Sequence[int],
+    mode: int = 0,
+    remove_continue: bool = False,
+    add_bar: bool = True,
+) -> Optional[List[str]]:
+    """Decode one window to MIDI, drop near-empty tracks, insert controls
+    (reference ``remove_continue_add_control_event`` corpus path)."""
+    full = list(header_events) + list(window_events)
+    if mode == 0:
+        score = events_to_midi(full, velocities=CORPUS_VELOCITIES)
+    else:
+        score = remi_to_midi(full)
+    if score is None:
+        return None
+    pruned = remove_empty_tracks(score)
+    if pruned is None or not pruned.instruments:
+        return None
+    result = add_control_events(
+        np.array(window_events),
+        list(header_events),
+        key,
+        list(tensiles),
+        score,
+        remove_continue=remove_continue,
+        add_bar=add_bar,
+    )
+    if result is None or result == "what":
+        return None
+    return result[0]
+
+
+def process_song(
+    file_events: Sequence[str],
+    mode: int = 0,
+    augment: bool = False,
+    add_bar: bool = True,
+    rng: Optional[np.random.Generator] = None,
+) -> List[List[str]]:
+    """Whole-song events -> list of annotated 16-bar training windows."""
+    rng = rng or np.random.default_rng()
+    file_events = np.array(file_events, dtype=object)
+    if mode == 0:
+        total = events_to_midi(list(file_events), velocities=CORPUS_VELOCITIES)
+    else:
+        total = remi_to_midi(list(file_events))
+    if total is None:
+        return []
+
+    res = score_tension(total)
+    if res is None:
+        return []
+    tensiles, diameters, first_key, drumless = res
+
+    voted = vote_key(first_key, drumless, require_agreement=3)
+    if voted is None:
+        return []
+    key = voted[0]
+    if key != first_key:
+        res = score_tension(total, key_names=[key])
+        if res is None:
+            return []
+        tensiles, diameters, key, _ = res
+
+    track_programs = programs_of(list(file_events))
+    num_tracks = len(track_programs)
+    if num_tracks < 1:
+        return []
+    header_events = list(file_events[: 2 + num_tracks])
+
+    bar_pos = np.where(file_events == "bar")[0]
+    total_bars = min(len(tensiles), len(diameters), len(bar_pos))
+    if total_bars < len(bar_pos):
+        file_events = file_events[: bar_pos[total_bars]]
+    bar_pos = bar_pos[:total_bars]
+    if len(bar_pos) == 0:
+        return []
+
+    starts = bar_pos[::WINDOW_STRIDE]
+    windows: List[List[str]] = []
+
+    def one_window(pos: int) -> Optional[List[str]]:
+        lo = starts[pos]
+        hi = starts[pos + 2] if pos + 2 < len(starts) else len(file_events)
+        t_lo = WINDOW_STRIDE * pos
+        return annotate_window(
+            list(file_events[lo:hi]),
+            header_events,
+            key,
+            list(tensiles[t_lo : t_lo + WINDOW_BARS]),
+            mode=mode,
+            remove_continue=(pos == 0),
+            add_bar=add_bar,
+        )
+
+    n_windows = 1 if len(starts) == 1 else len(starts) - 1
+    for pos in range(n_windows):
+        annotated = one_window(pos)
+        if annotated is None:
+            continue
+        windows.append(annotated)
+        if augment:
+            if annotated[0] in ("2/4", "3/4", "6/8"):
+                if rng.random() > 0.8:
+                    windows.extend(shift_event_keys(annotated, rng))
+            elif rng.random() > 0.5:
+                windows.extend(shift_event_keys_with_direction(annotated, rng))
+    return windows
+
+
+def build_file(
+    midi_path: str,
+    out_dir: str,
+    mode: int = 0,
+    augment: bool = False,
+    add_bar: bool = True,
+    seed: int = 0,
+) -> Optional[str]:
+    """One MIDI file -> tokenized song -> pickled window list on disk."""
+    try:
+        score = read_midi(midi_path)
+    except (ValueError, OSError, IndexError):
+        return None
+    res = midi_to_events(score)
+    if res is None:
+        return None
+    events, _ = res
+    if mode == 1:
+        events = smer_to_remi(events)
+    windows = process_song(
+        events, mode=mode, augment=augment, add_bar=add_bar,
+        rng=np.random.default_rng(seed),
+    )
+    if not windows:
+        return None
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = os.path.join(
+        out_dir, os.path.basename(midi_path).rsplit(".", 1)[0] + "_control"
+    )
+    with open(out_path, "wb") as f:
+        pickle.dump(windows, f)
+    return out_path
+
+
+def build_corpus(
+    midi_files: Sequence[str],
+    out_dir: str,
+    mode: int = 0,
+    augment: bool = False,
+    add_bar: bool = True,
+    n_jobs: int = 0,
+) -> List[str]:
+    """Fan the per-file build over processes (reference ``gen_batches``)."""
+    if n_jobs and n_jobs > 1:
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(max_workers=n_jobs) as pool:
+            results = list(
+                pool.map(
+                    _build_one,
+                    [(f, out_dir, mode, augment, add_bar, i) for i, f in enumerate(midi_files)],
+                )
+            )
+    else:
+        results = [
+            _build_one((f, out_dir, mode, augment, add_bar, i))
+            for i, f in enumerate(midi_files)
+        ]
+    return [r for r in results if r]
+
+
+def _build_one(args) -> Optional[str]:
+    midi_path, out_dir, mode, augment, add_bar, seed = args
+    return build_file(midi_path, out_dir, mode, augment, add_bar, seed)
+
+
+def walk_midi(folder: str) -> List[str]:
+    files = []
+    for p, _, fs in os.walk(folder):
+        for name in fs:
+            if name.rsplit(".", 1)[-1].lower() in ("mid", "midi"):
+                files.append(os.path.join(p, name))
+    return sorted(files)

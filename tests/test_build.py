@@ -1,0 +1,103 @@
+"""Dataset build pipeline tests: windowing, augmentation, packing."""
+
+import numpy as np
+import pytest
+
+from smer_music_generation_tpu.codec.midi import read_midi
+from smer_music_generation_tpu.codec.smer import midi_to_events
+from smer_music_generation_tpu.data.build import (
+    build_file,
+    process_song,
+    shift_event_keys,
+    shift_event_keys_with_direction,
+)
+from smer_music_generation_tpu.data.pack import (
+    pack_windows,
+    split_train_valid_test,
+    stack_control_files,
+    validate_window,
+)
+from smer_music_generation_tpu.vocab import CONTROL_SETS, WordVocab
+from tests.test_annotate import make_two_track_score
+
+
+@pytest.fixture(scope="module")
+def long_song_events():
+    # 24-bar, two-track song -> 2 stride-8 windows past the first
+    score = make_two_track_score(bars=24, seed=5)
+    events, _ = midi_to_events(score)
+    return events
+
+
+def test_process_song_windows(long_song_events):
+    windows = process_song(long_song_events, augment=False)
+    assert len(windows) >= 2
+    vocab = WordVocab(0, CONTROL_SETS[5])
+    for w in windows:
+        vocab.encode(w)  # fully encodable
+        assert w[2].startswith("k_")
+        assert validate_window(w)
+        n_bars = w.count("bar")
+        assert 1 <= n_bars <= 16
+        # every bar has a tension token right after it
+        for i, tok in enumerate(w):
+            if tok == "bar":
+                assert w[i + 1].startswith("s_")
+
+
+def test_shift_event_keys_moves_pitches(long_song_events):
+    windows = process_song(long_song_events, augment=False)
+    w = windows[0]
+    shifted = shift_event_keys(w, np.random.default_rng(0))
+    assert 1 <= len(shifted) <= 5
+    for s in shifted:
+        assert len(s) == len(w)
+        pitches_orig = [t for t in w if t.startswith("p_") and t[2:].isdigit()]
+        pitches_new = [t for t in s if t.startswith("p_") and t[2:].isdigit()]
+        assert pitches_orig != pitches_new
+        for t in pitches_new:
+            assert 21 <= int(t[2:]) <= 108
+
+
+def test_shift_with_direction_updates_key_token():
+    # build a minimal C-minor-keyed window
+    base = ["4/4", "t_2", "k_20", "d_0", "o_0", "y_0", "i_0",
+            "bar", "s_0", "track_0", "p_60", "whole"]
+    shifted = shift_event_keys_with_direction(base, np.random.default_rng(1))
+    assert len(shifted) == 11  # all minor shifts except 0
+    for s in shifted:
+        assert s[2].startswith("k_")
+        assert s[2] != "k_20" or s == base
+
+
+def test_build_file_roundtrip(tmp_path):
+    score = make_two_track_score(bars=20, seed=9)
+    midi_path = str(tmp_path / "song.mid")
+    score.write(midi_path)
+    out = build_file(midi_path, str(tmp_path / "out"), augment=False)
+    assert out is not None
+    import pickle
+
+    with open(out, "rb") as f:
+        windows = pickle.load(f)
+    assert len(windows) >= 1
+    assert all(validate_window(w) for w in windows)
+
+
+def test_pack_windows():
+    w_small = ["4/4"] * 500
+    w_mid = ["4/4"] * 900
+    w_big = ["4/4"] * 2500  # over limit -> dropped
+    groups, lengths = pack_windows([w_small, w_mid, list(w_small), w_big], 2200)
+    # dedup removed the duplicate small window
+    total = sum(len(g) for g in groups)
+    assert total == 2
+    assert all(sum(len(w) for w in g) < 2200 for g in groups)
+    assert sum(len(v) for v in lengths.values()) == len(groups)
+
+
+def test_split_ratios():
+    files = [f"f{i}" for i in range(100)]
+    tr, va, te = split_train_valid_test(files, 0.8, 0.1)
+    assert len(tr) == 80 and len(va) == 10 and len(te) == 10
+    assert set(tr) | set(va) | set(te) == set(files)
