@@ -1,0 +1,74 @@
+"""Orbax checkpointing with the reference's payload contract.
+
+The reference saves ``{model_state_dict, optimizer_state_dict, epoch,
+loss}`` per epoch and resumes with an optional epoch reset
+(``train.py:266-303, 967-973``).  Here the payload is
+``{params, opt_state, step, lr, epoch, loss}`` via orbax.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from .state import TrainState
+
+
+def save_checkpoint(
+    directory: str, epoch: int, state: TrainState, loss: float
+) -> str:
+    path = os.path.abspath(os.path.join(directory, f"checkpoint_{epoch}"))
+    payload = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "lr": state.lr,
+        "epoch": np.int32(epoch),
+        "loss": np.float32(loss),
+    }
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_checkpoint(
+    path: str, state: TrainState
+) -> Tuple[TrainState, int, float]:
+    """Restore into the shape/dtype structure of ``state``."""
+    abstract = {
+        "params": jax.tree.map(ocp.utils.to_shape_dtype_struct, state.params),
+        "opt_state": jax.tree.map(ocp.utils.to_shape_dtype_struct, state.opt_state),
+        "step": ocp.utils.to_shape_dtype_struct(state.step),
+        "lr": ocp.utils.to_shape_dtype_struct(state.lr),
+        "epoch": jax.ShapeDtypeStruct((), np.int32),
+        "loss": jax.ShapeDtypeStruct((), np.float32),
+    }
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path), abstract)
+    new_state = state.replace(
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        step=restored["step"],
+        lr=restored["lr"],
+    )
+    return new_state, int(restored["epoch"]), float(restored["loss"])
+
+
+def latest_checkpoint(directory: str) -> Optional[str]:
+    if not os.path.isdir(directory):
+        return None
+    candidates = []
+    for name in os.listdir(directory):
+        if name.startswith("checkpoint_"):
+            try:
+                candidates.append((int(name.split("_")[-1]), name))
+            except ValueError:
+                continue
+    if not candidates:
+        return None
+    return os.path.join(directory, max(candidates)[1])

@@ -1,0 +1,243 @@
+"""Training driver: the ``train.py`` equivalent, pjit-sharded.
+
+Reference call stack (SURVEY.md §3.3): 2 pretraining epochs (span
+corruption, eos weight 0.8) then finetuning epochs (bar/track masks, eos
+weight 1.0), per-class losses/accuracies every ``print_every`` steps,
+ReduceLROnPlateau on the epoch train loss, a checkpoint per epoch, and a
+``-x`` test mode computing loss/accuracy on the held-out split.
+
+TPU-first mechanics: batches are padded to shape buckets (bounded
+recompiles), the batch axis is padded to a multiple of the dp mesh axis and
+sharded over it, the train step is one fused jit program per bucket.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+from typing import Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.loader import BatchLoader, LoaderConfig
+from ..data.masking import MaskingConfig
+from ..data.pack import load_batches
+from ..parallel.mesh import batch_sharding, make_mesh, param_shardings, replicated
+from ..utils.config import ExperimentConfig
+from ..utils.logging import MetricsLogger, logger_init
+from ..vocab import WordVocab
+from .checkpoint import restore_checkpoint, save_checkpoint
+from .loss import build_loss_tables
+from .state import (
+    PlateauScheduler,
+    TrainState,
+    build_model,
+    make_eval_step,
+    make_train_step,
+)
+
+
+def pad_batch_rows(batch: Dict[str, np.ndarray], multiple: int) -> Dict[str, np.ndarray]:
+    """Pad the batch (row) axis to a multiple of the dp axis; all-pad rows
+    contribute nothing to the loss (pad targets are ignored)."""
+    B = batch["input"].shape[0]
+    target = int(np.ceil(B / multiple)) * multiple
+    if target == B:
+        return batch
+    out = {}
+    for k, v in batch.items():
+        pad_val = True if v.dtype == bool else 0
+        pad = np.full((target - B,) + v.shape[1:], pad_val, dtype=v.dtype)
+        out[k] = np.concatenate([v, pad], axis=0)
+    return out
+
+
+class Trainer:
+    def __init__(self, cfg: ExperimentConfig, logger=None):
+        self.cfg = cfg
+        self.logger = logger or logger_init(os.path.join(cfg.output_dir, "logging.log"))
+        self.metrics = MetricsLogger(os.path.join(cfg.output_dir, "metrics.jsonl"))
+
+        self.vocab = WordVocab(cfg.vocab_mode, cfg.control_list)
+        dtype = jnp.bfloat16 if cfg.bf16 and jax.default_backend() == "tpu" else jnp.float32
+        self.model = build_model(
+            self.vocab.vocab_size,
+            d_model=cfg.d_model,
+            nhead=cfg.nhead,
+            num_layers=cfg.num_layers,
+            d_ff=cfg.d_ff,
+            max_len=cfg.max_seq,
+            dropout=cfg.dropout,
+            dtype=dtype,
+        )
+        self.tables = build_loss_tables(self.vocab)
+        self.mesh = make_mesh(cfg.n_devices or None, tp=cfg.tp)
+        self.dp = self.mesh.shape["dp"]
+
+        rng = jax.random.PRNGKey(cfg.seed)
+        src = jnp.ones((2, 16), dtype=jnp.int32)
+        tgt = jnp.ones((2, 16), dtype=jnp.int32)
+        params = self.model.init({"params": rng}, src, tgt)
+        self.state = TrainState.create(params, lr=cfg.lr)
+        self.start_epoch = 0
+        if cfg.resume_from:
+            self.state, epoch, loss = restore_checkpoint(cfg.resume_from, self.state)
+            self.start_epoch = 0 if cfg.reset_epoch else epoch + 1
+            self.logger.info(f"resumed from {cfg.resume_from} (epoch {epoch}, loss {loss:.4f})")
+
+        # shard: params replicated (or TP rules), batch over dp
+        self._p_shard = param_shardings(self.mesh, self.state.params)
+        self._data_shard = batch_sharding(self.mesh)
+        self.state = jax.device_put(self.state, replicated(self.mesh))
+
+        self._train_step = jax.jit(
+            make_train_step(self.model, self.tables, dropout=cfg.dropout > 0),
+            donate_argnums=(0,),
+        )
+        self._eval_step = jax.jit(make_eval_step(self.model, self.tables))
+        self._rng = jax.random.PRNGKey(cfg.seed + 17)
+
+    # ------------------------------------------------------------------
+    def _device_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
+        batch = pad_batch_rows(batch, self.dp)
+        return {
+            k: jax.device_put(jnp.asarray(v), self._data_shard) for k, v in batch.items()
+        }
+
+    def make_loader(self, groups, pretraining: bool, seed_offset: int = 0) -> BatchLoader:
+        cfg = self.cfg
+        return BatchLoader(
+            self.vocab,
+            groups,
+            LoaderConfig(
+                batch_size=cfg.batch_size,
+                max_src=cfg.max_seq,
+                max_tgt=cfg.max_seq,
+                pretraining=pretraining,
+            ),
+            MaskingConfig(
+                total_mask_ratio=cfg.total_mask_ratio,
+                bar_track_control=cfg.bar_track_control,
+                bar_control_at_end=cfg.bar_control_at_end,
+            ),
+            seed=cfg.seed + seed_offset,
+        )
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, loader: Iterable, eos_weight: float, epoch: int) -> float:
+        losses = []
+        acc_correct = defaultdict(float)
+        acc_count = defaultdict(float)
+        names = self.tables["class_names"]
+        for step, batch in enumerate(loader):
+            self._rng, sub = jax.random.split(self._rng)
+            self.state, m = self._train_step(
+                self.state, self._device_batch(batch), jnp.float32(eos_weight), sub
+            )
+            losses.append(float(m["loss"]))
+            for n, c, k in zip(names, np.asarray(m["correct_per_class"]), np.asarray(m["count_per_class"])):
+                acc_correct[n] += c
+                acc_count[n] += k
+            if step % self.cfg.print_every == self.cfg.print_every - 1:
+                record = {
+                    "epoch": epoch,
+                    "train_loss": float(np.mean(losses[-self.cfg.print_every:])),
+                    "total_accuracy": float(m["accuracy"]),
+                    "lr": float(self.state.lr),
+                }
+                record.update({k: float(v) for k, v in m.items() if k.startswith("loss/")})
+                self.metrics.log(record, step=int(self.state.step))
+                self.logger.info(
+                    f"epoch {epoch + 1} step {step + 1}: loss {record['train_loss']:.4f} "
+                    f"acc {record['total_accuracy']:.4f}"
+                )
+        for n in names:
+            if acc_count[n] > 0:
+                self.metrics.log(
+                    {f"ave_epoch_train_{n}_acc": acc_correct[n] / acc_count[n], "epoch": epoch},
+                    step=int(self.state.step),
+                )
+        return float(np.mean(losses)) if losses else float("inf")
+
+    def evaluate(self, loader: Iterable, eos_weight: float) -> Dict[str, float]:
+        losses = []
+        head_losses = defaultdict(list)
+        correct = defaultdict(float)
+        count = defaultdict(float)
+        names = self.tables["class_names"]
+        for batch in loader:
+            m = self._eval_step(
+                self.state.params, self._device_batch(batch), jnp.float32(eos_weight)
+            )
+            losses.append(float(m["loss"]))
+            for k, v in m.items():
+                if k.startswith("loss/"):
+                    head_losses[k].append(float(v))
+            for n, c, k in zip(names, np.asarray(m["correct_per_class"]), np.asarray(m["count_per_class"])):
+                correct[n] += c
+                count[n] += k
+        out = {"total": float(np.mean(losses)) if losses else float("inf")}
+        for k, v in head_losses.items():
+            out[k.split("/", 1)[1]] = float(np.mean(v))
+        for n in names:
+            if count[n] > 0:
+                out[f"{n}_accuracy"] = correct[n] / count[n]
+        return out
+
+    # ------------------------------------------------------------------
+    def run(self, train_groups, valid_groups) -> None:
+        cfg = self.cfg
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        cfg.save(os.path.join(cfg.output_dir, "config.json"))
+        scheduler = PlateauScheduler()
+
+        for epoch in range(self.start_epoch, cfg.epochs):
+            pretraining = epoch < cfg.pretraining_epochs
+            eos_weight = cfg.eos_weight if pretraining else 1.0
+            phase = "pretraining" if pretraining else "finetuning"
+            self.logger.info(f"{phase} epoch {epoch + 1}/{cfg.epochs}")
+
+            train_loader = self.make_loader(train_groups, pretraining, seed_offset=epoch)
+            valid_loader = self.make_loader(valid_groups, pretraining, seed_offset=1000 + epoch)
+
+            train_loss = self.train_epoch(train_loader, eos_weight, epoch)
+            val = self.evaluate(valid_loader, eos_weight)
+            for k, v in val.items():
+                self.metrics.log({f"val_{k}": v, "epoch": epoch}, step=int(self.state.step))
+            self.logger.info(
+                f"epoch {epoch + 1}: train {train_loss:.4f} valid {val['total']:.4f}"
+            )
+
+            new_lr = scheduler.update(float(self.state.lr), train_loss)
+            if new_lr != float(self.state.lr):
+                self.logger.info(f"plateau: lr -> {new_lr}")
+                self.state = self.state.replace(lr=jnp.asarray(new_lr, jnp.float32))
+
+            ckpt_dir = os.path.join(cfg.output_dir, cfg.checkpoint_dir)
+            path = save_checkpoint(ckpt_dir, epoch, self.state, val["total"])
+            self.logger.info(f"saved {path}")
+
+    def test(self, test_groups) -> Dict[str, float]:
+        loader = self.make_loader(test_groups, pretraining=False, seed_offset=31337)
+        result = self.evaluate(loader, eos_weight=1.0)
+        for k, v in result.items():
+            self.logger.info(f"test {k}: {v:.4f}")
+        return result
+
+
+def main(argv=None):
+    cfg = ExperimentConfig.from_args(argv)
+    trainer = Trainer(cfg)
+    if cfg.is_test:
+        groups, _ = load_batches(cfg.test_batches)
+        trainer.test(groups)
+    else:
+        train_groups, _ = load_batches(cfg.train_batches)
+        valid_groups, _ = load_batches(cfg.valid_batches)
+        trainer.run(train_groups, valid_groups)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""One dataclass config for the whole experiment matrix.
+
+Collapses the reference's scattered flag surfaces — argparse per CLI,
+hard-coded config dict (``train.py:151-161``), wandb snapshot
+(``config/config.yaml``) and absolute paths — into a single serializable
+config (SURVEY.md §5.6).  The de-facto experiment axes are preserved:
+
+* ``vocab_mode``: 0 = SMER, 1 = REMI (reference ``-m``);
+* ``control_number``: 0..5 control-set selection (``train.py:1393-1405``);
+* ``control_mode``: 0 = track controls only, 1 = + bar controls,
+  2 = + bar controls copied to span ends (``train.py:471-479``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from typing import List, Optional
+
+from ..vocab import CONTROL_SETS
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    # data
+    vocab_mode: int = 0
+    control_number: int = 5
+    control_mode: int = 2
+    batch_size: int = 2  # packed groups per step
+    max_token_length: int = 2200
+    train_batches: str = ""
+    valid_batches: str = ""
+    test_batches: str = ""
+
+    # model (flagship artifact: config/config.yaml:26-43)
+    d_model: int = 512
+    nhead: int = 8
+    num_layers: int = 4
+    d_ff: int = 2048
+    max_seq: int = 2400
+    dropout: float = 0.1
+
+    # optimisation
+    lr: float = 1e-4
+    epochs: int = 10
+    pretraining_epochs: int = 2
+    eos_weight: float = 0.8
+    total_mask_ratio: float = 0.15
+    seed: int = 99
+
+    # runtime
+    checkpoint_dir: str = "checkpoints"
+    resume_from: Optional[str] = None
+    reset_epoch: bool = False
+    output_dir: str = "runs/default"
+    print_every: int = 100
+    is_debug: bool = False
+    is_test: bool = False
+    n_devices: int = 0  # 0 = all
+    tp: int = 1
+    bf16: bool = True
+
+    @property
+    def control_list(self) -> List[str]:
+        return CONTROL_SETS[self.control_number]
+
+    @property
+    def bar_track_control(self) -> bool:
+        return self.control_mode >= 1
+
+    @property
+    def bar_control_at_end(self) -> bool:
+        return self.control_mode == 2
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=2)
+
+    @classmethod
+    def load(cls, path: str) -> "ExperimentConfig":
+        with open(path) as f:
+            return cls(**json.load(f))
+
+    @classmethod
+    def from_args(cls, argv: Optional[List[str]] = None) -> "ExperimentConfig":
+        parser = argparse.ArgumentParser(description="SMER TPU training")
+        defaults = cls()
+        parser.add_argument("-m", "--vocab_mode", type=int, default=defaults.vocab_mode)
+        parser.add_argument("-t", "--control_number", type=int, default=defaults.control_number)
+        parser.add_argument("-w", "--control_mode", type=int, default=defaults.control_mode)
+        parser.add_argument("-c", "--resume_from", type=str, default=None)
+        parser.add_argument("-a", "--reset_epoch", action="store_true")
+        parser.add_argument("-x", "--is_test", action="store_true")
+        parser.add_argument("-d", "--is_debug", action="store_true")
+        parser.add_argument("-e", "--epochs", type=int, default=defaults.epochs)
+        parser.add_argument("-l", "--lr", type=float, default=defaults.lr)
+        parser.add_argument("--train_batches", type=str, default="")
+        parser.add_argument("--valid_batches", type=str, default="")
+        parser.add_argument("--test_batches", type=str, default="")
+        parser.add_argument("--output_dir", type=str, default=defaults.output_dir)
+        parser.add_argument("--d_model", type=int, default=defaults.d_model)
+        parser.add_argument("--nhead", type=int, default=defaults.nhead)
+        parser.add_argument("--num_layers", type=int, default=defaults.num_layers)
+        parser.add_argument("--batch_size", type=int, default=defaults.batch_size)
+        parser.add_argument("--tp", type=int, default=defaults.tp)
+        parser.add_argument("--no_bf16", action="store_true")
+        args = parser.parse_args(argv)
+        cfg = cls(
+            vocab_mode=args.vocab_mode,
+            control_number=args.control_number,
+            control_mode=args.control_mode,
+            resume_from=args.resume_from,
+            reset_epoch=args.reset_epoch,
+            is_test=args.is_test,
+            is_debug=args.is_debug,
+            epochs=args.epochs,
+            lr=args.lr,
+            train_batches=args.train_batches,
+            valid_batches=args.valid_batches,
+            test_batches=args.test_batches,
+            output_dir=args.output_dir,
+            d_model=args.d_model,
+            nhead=args.nhead,
+            num_layers=args.num_layers,
+            batch_size=args.batch_size,
+            tp=args.tp,
+            bf16=not args.no_bf16,
+        )
+        return cfg

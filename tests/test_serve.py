@@ -1,0 +1,125 @@
+"""Serving layer tests: plugin protocol round trip + live HTTP server."""
+
+import json
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smer_music_generation_tpu.codec.midi import MidiScore
+from smer_music_generation_tpu.models.transformer import ModelConfig, ScoreTransformer
+from smer_music_generation_tpu.serve.app import ServingContext, serve
+from smer_music_generation_tpu.serve.protocol import merge_pm, midi2notes, note_midi
+from smer_music_generation_tpu.vocab import CONTROL_SETS, WordVocab
+
+
+def plugin_payload(bars=16):
+    notes = []
+    for bar in range(bars):
+        for beat in range(4):
+            notes.append([60 + (bar + beat) % 12, bar * 4 + beat, 1])
+    bass = [[40 + bar % 5, bar * 4, 4] for bar in range(bars)]
+    return {
+        "tempo": 100,
+        "numerator": 4,
+        "denominator": 4,
+        "track_0": notes,
+        "track_0_program": 1,
+        "track_1": bass,
+        "track_1_program": 33,
+    }
+
+
+def test_note_midi_roundtrip():
+    data = plugin_payload()
+    score = note_midi(data, start_bar=1)
+    assert score is not None
+    assert len(score.instruments) == 2
+    assert score.instruments[0].program == 0
+    assert score.instruments[1].program == 32
+    beat = 60 / 100
+    assert abs(score.instruments[0].notes[0].start - 0.0) < 1e-9
+    assert abs(score.instruments[0].notes[0].end - beat) < 1e-9
+
+    controls = {"start_bar": 1, "s_bar": 1, "e_bar": 4, "track_0": 0, "track_1": 1}
+    notes = midi2notes(score, 100.0, ["track_0", "track_1"], controls)
+    assert len(notes["track_0"]) > 0
+    assert notes["track_1"] == []  # locked track
+    first = notes["track_0"][0]
+    assert first["pitch"] == 60 and abs(first["duration"] - 1.0) < 1e-6
+
+
+def test_merge_pm():
+    data = plugin_payload(bars=8)
+    total = note_midi(data, start_bar=1)
+    partial = note_midi(plugin_payload(bars=8), start_bar=1)
+    # shift partial's pitches so the merge is observable
+    for n in partial.instruments[0].notes:
+        n.pitch += 1
+    controls = {"start_bar": 1, "s_bar": 2, "e_bar": 3}
+    merged = merge_pm(total, partial, controls, 4, 4, 100.0)
+    beat = 60 / 100
+    fill_lo, fill_hi = beat * 4 * 1, beat * 4 * 3
+    for n in merged.instruments[0].notes:
+        inside = fill_lo <= n.start < fill_hi
+        if inside:
+            assert n.pitch != 60 or n.pitch > 60  # replaced notes shifted
+
+
+@pytest.fixture(scope="module")
+def server_url():
+    vocab = WordVocab(0, CONTROL_SETS[5])
+    cfg = ModelConfig(
+        vocab_size=vocab.vocab_size, d_model=32, nhead=4, num_encoder_layers=1,
+        num_decoder_layers=1, d_ff=64, max_len=2048, dropout=0.0, pos_dropout=0.0,
+    )
+    model = ScoreTransformer(cfg)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.ones((1, 8), jnp.int32), jnp.ones((1, 8), jnp.int32),
+    )
+    ctx = ServingContext(model, params, vocab)
+    server = serve(ctx, host="127.0.0.1", port=0)
+    host, port = server.server_address
+    yield f"http://{host}:{port}"
+    server.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(), headers={"Content-Type": "application/json"}
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        return json.loads(resp.read())
+
+
+def test_http_health(server_url):
+    with urllib.request.urlopen(server_url + "/health", timeout=30) as resp:
+        body = json.loads(resp.read())
+    assert body["status"] == "ok" and body["vocab_size"] == 309
+
+
+def test_http_encode_then_generate(server_url):
+    enc = _post(server_url + "/encode", {"notes": plugin_payload(), "controls": {}})
+    assert "events" in enc, enc
+    events, controls = enc["events"], enc["controls"]
+    assert controls["track_nums"] == 2
+
+    controls["bar_track"] = 0
+    controls["track_0_c"] = controls["track_0"]
+    controls["track_1_c"] = controls["track_1"]
+    gen = _post(
+        server_url + "/generate",
+        {
+            "events": events,
+            "controls": controls,
+            "tracks": [0],
+            "bars": [1, 2],
+            "tempo": 100,
+        },
+    )
+    assert "events" in gen, gen
+    assert "m_0" not in gen["events"]
+    assert gen["decode_steps"] > 0
