@@ -462,6 +462,17 @@ def midi_to_events(
 # ---------------------------------------------------------------------------
 
 
+def bar_events_to_midi(
+    bar_tokens: Sequence[str],
+    headers: Sequence[str],
+    velocities: Sequence[int] = CORPUS_VELOCITIES,
+) -> Optional[MidiScore]:
+    """Headers + bar-level tokens -> MIDI (reference
+    ``preprocessing.py:755-958`` ``bar_event_2_midi``, used by the
+    evaluation harness to re-measure regenerated bars)."""
+    return events_to_midi(list(headers) + list(bar_tokens), velocities=velocities)
+
+
 def remove_empty_tracks(score: MidiScore, min_occupation: float = 0.3) -> Optional[MidiScore]:
     """Drop instruments occupying < 30% of 16th slots (reference
     ``preprocessing.py:92-113`` / ``encode.py:537-556``); None for songs

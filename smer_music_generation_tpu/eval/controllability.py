@@ -1,0 +1,260 @@
+"""Controllability evaluation harness.
+
+Reimplements the measurement core of reference ``evaluation.py``: set a
+control token to a new value, regenerate the affected spans, recompute the
+*achieved* control of the regenerated music, and report the |set -
+achieved| differences:
+
+* :func:`recompute_track_controls` — ``cal_track_control``
+  (``evaluation.py:169-290``);
+* :func:`recompute_bar_track_control` — ``cal_bar_track_control``
+  (``:128-166``);
+* :func:`recompute_bar_tension` — ``cal_bar_tension`` (``:50-89``);
+* :class:`ControllabilityEvaluator` — the driving loop
+  (``:1681-2864``): tensile per masked bar, or one track's
+  density / occupation / polyphony, with ``unk_mode`` ablations that blank
+  other controls to ``unk`` (``:1497-1516``).
+
+Results are plain dicts of diff lists, JSON-serializable (the reference
+pickles raw Python lists, ``:2815-2864``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..codec.smer import bar_events_to_midi, events_to_midi
+from ..codec.structure import bar_with_track_positions, split_track_events, track_names_of
+from ..features.controls import (
+    bar_track_density,
+    bar_track_occupation_polyphony_rate,
+    note_density,
+    occupation_polyphony_rate,
+)
+from ..features.tension import score_tension
+from ..vocab import CONTROL_BINS, WordVocab, to_category
+from ..infer.engine import TOTAL_TRACK_CONTROL_TYPES, InfillEngine
+
+
+def _bar_sixteenths(time_signature: str) -> int:
+    beats = int(time_signature[0])
+    return beats * 4 if beats != 6 else beats // 2 * 4
+
+
+def recompute_track_controls(events: Sequence[str]) -> Optional[Dict]:
+    """Re-measure whole-window track controls of an event stream."""
+    score = events_to_midi(list(events))
+    if score is None:
+        return None
+    bar_six = _bar_sixteenths(events[0])
+    n_bars = sum(1 for e in events if e == "bar")
+    track_events = split_track_events(events)
+    total_densities, _ = note_density(track_events, bar_six, bar_six * n_bars)
+    beat_time = score.get_beats()
+    div = 4 if int(events[0][0]) != 6 else 6
+    sixteenth_time = (beat_time[1] - beat_time[0]) / div
+    occupation, polyphony, _, _ = occupation_polyphony_rate(
+        score, bar_six, sixteenth_time, n_bars
+    )
+    return {
+        "density": to_category(total_densities, CONTROL_BINS),
+        "occupation": to_category(occupation, CONTROL_BINS),
+        "polyphony": to_category(polyphony, CONTROL_BINS),
+    }
+
+
+def recompute_bar_track_control(
+    track_tokens: Sequence[str], headers: Sequence[str]
+) -> Tuple[int, int, int]:
+    """Achieved (density, occupation, polyphony) of one bar-track body."""
+    body = [t for t in track_tokens if t != "continue"]
+    bar_six = _bar_sixteenths(headers[0])
+    score = bar_events_to_midi(["bar", "track_0"] + list(body), headers[:3])
+    density = to_category([bar_track_density([body], bar_six)], CONTROL_BINS)[0]
+    if score is None:
+        return density, -1, -1
+    beat = score.get_beats()
+    div = 4 if int(headers[0][0]) != 6 else 6
+    sixteenth_time = (beat[1] - beat[0]) / div
+    occ, poly = bar_track_occupation_polyphony_rate(score, sixteenth_time)
+    if occ < 0:
+        return density, -1, -1
+    return (
+        density,
+        to_category([occ], CONTROL_BINS)[0],
+        to_category([poly], CONTROL_BINS)[0],
+    )
+
+
+def recompute_bar_tension(
+    bar_tokens: Sequence[str], headers: Sequence[str], key_name: Optional[str] = None
+) -> Optional[int]:
+    """Achieved tensile-strain category of one regenerated bar."""
+    body = [t for t in bar_tokens if t not in ("continue", "<eos>")]
+    score = bar_events_to_midi(["bar"] + list(body), headers)
+    if score is None:
+        return None
+    res = score_tension(score, key_names=[key_name] if key_name else None)
+    if res is None or not res[0]:
+        return None
+    return int(res[0][0])
+
+
+# ---------------------------------------------------------------------------
+
+
+def apply_unk_mode(events: List[str], vocab: WordVocab, unk_mode: int,
+                   keep_track: Optional[int] = None) -> List[str]:
+    """Blank control tokens to ``unk`` per the ablation mode.
+
+    0: untouched; 1: other tracks' leading bar-track controls; 2: all bar
+    tension tokens; 3: both (reference ``evaluation.py:1497-1516``).
+    """
+    if unk_mode == 0:
+        return events
+    out = list(events)
+    _, bar_poses, bars = bar_with_track_positions(out)
+    if unk_mode in (1, 3):
+        for tracks_in_bar in bars:
+            for track_pos, (track_start, _) in enumerate(tracks_in_bar):
+                if keep_track is not None and track_pos == keep_track:
+                    continue
+                for k in range(TOTAL_TRACK_CONTROL_TYPES):
+                    if out[track_start + k] in vocab.control_tokens:
+                        out[track_start + k] = "unk"
+    if unk_mode in (2, 3):
+        for bp in bar_poses:
+            if out[bp + 1] in vocab.name_to_tokens.get("tensile", []):
+                out[bp + 1] = "unk"
+    return out
+
+
+@dataclass
+class EvalResult:
+    control: str
+    diffs: List[int] = field(default_factory=list)
+    failures: int = 0
+
+    def summary(self) -> Dict:
+        return {
+            "control": self.control,
+            "n": len(self.diffs),
+            "mean_abs_diff": float(np.mean(self.diffs)) if self.diffs else None,
+            "failures": self.failures,
+            "diffs": self.diffs,
+        }
+
+
+class ControllabilityEvaluator:
+    """Mutate one control, regenerate, measure |set - achieved|."""
+
+    def __init__(self, engine: InfillEngine, vocab: WordVocab, unk_mode: int = 0):
+        self.engine = engine
+        self.vocab = vocab
+        self.unk_mode = unk_mode
+
+    # ------------------------------------------------------------------
+    def evaluate_tensile(
+        self, events: Sequence[str], bars: Sequence[int], new_values: Sequence[int], rng
+    ) -> EvalResult:
+        """Set s_* of the chosen bars, regenerate those whole bars."""
+        result = EvalResult("tensile")
+        events = list(events)
+        _, bar_poses, bars_pos = bar_with_track_positions(events)
+        for bar, value in zip(bars, new_values):
+            events[bar_poses[bar] + 1] = f"s_{value}"
+        events = apply_unk_mode(events, self.vocab, self.unk_mode)
+        track_names = track_names_of(events)
+        all_tracks = list(range(len(track_names)))
+        gen = self.engine(
+            events, [int(n[-1]) for n in track_names], list(bars), rng
+        )
+        if gen is None:
+            result.failures += 1
+            return result
+        headers = self._headers(gen.events)
+        _, out_bar_poses, out_bars = bar_with_track_positions(gen.events)
+        for bar, value in zip(bars, new_values):
+            lo = out_bar_poses[bar]
+            hi = out_bar_poses[bar + 1] if bar + 1 < len(out_bar_poses) else len(gen.events)
+            achieved = recompute_bar_tension(gen.events[lo + 1 : hi], headers)
+            if achieved is None:
+                result.failures += 1
+            else:
+                result.diffs.append(abs(int(value) - achieved))
+        return result
+
+    def evaluate_track_control(
+        self, events: Sequence[str], track: int, kind: str, new_value: int, rng
+    ) -> EvalResult:
+        """Set one track's whole-window d/o/y control, regenerate the track."""
+        assert kind in ("density", "occupation", "polyphony")
+        prefix = {"density": "d", "occupation": "o", "polyphony": "y"}[kind]
+        result = EvalResult(kind)
+        events = list(events)
+        track_names = track_names_of(events)
+        bar0 = next(i for i, t in enumerate(events) if t == "bar")
+        header = events[:bar0]
+        positions = [
+            i for i, t in enumerate(header) if t.startswith(prefix + "_") and t[2:].isdigit()
+        ]
+        if track >= len(positions):
+            result.failures += 1
+            return result
+        events[positions[track]] = f"{prefix}_{new_value}"
+        events = apply_unk_mode(events, self.vocab, self.unk_mode, keep_track=track)
+        n_bars = sum(1 for e in events if e == "bar")
+        gen = self.engine(events, [int(track_names[track][-1])], list(range(n_bars)), rng)
+        if gen is None:
+            result.failures += 1
+            return result
+        achieved = recompute_track_controls(gen.events)
+        if achieved is None or track >= len(achieved[kind]):
+            result.failures += 1
+            return result
+        result.diffs.append(abs(int(new_value) - int(achieved[kind][track])))
+        return result
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _headers(events: Sequence[str]) -> List[str]:
+        bar0 = next(i for i, t in enumerate(events) if t == "bar")
+        header = list(events[:bar0])
+        # bar_events_to_midi needs [time_sig, tempo, programs...]
+        return [header[0], header[1]] + [t for t in header if t.startswith("i_")]
+
+    def run(
+        self,
+        test_windows: Sequence[Sequence[str]],
+        control_kinds: Sequence[str] = ("tensile", "density", "occupation", "polyphony"),
+        seed: int = 0,
+        max_windows: Optional[int] = None,
+    ) -> Dict[str, Dict]:
+        """Sweep the test set; returns {control: summary} (reference dumps
+        the same |set-achieved| lists, ``evaluation.py:2815-2864``)."""
+        import jax
+
+        rng = jax.random.PRNGKey(seed)
+        py_rng = np.random.default_rng(seed)
+        results = {k: EvalResult(k) for k in control_kinds}
+        windows = list(test_windows)[: max_windows or len(test_windows)]
+        for events in windows:
+            n_bars = sum(1 for e in events if e == "bar")
+            track_names = track_names_of(events)
+            for kind in control_kinds:
+                rng, sub = jax.random.split(rng)
+                if kind == "tensile":
+                    n_mut = int(py_rng.integers(1, min(4, n_bars) + 1))
+                    bars = sorted(py_rng.choice(n_bars, n_mut, replace=False).tolist())
+                    values = py_rng.integers(0, 12, n_mut).tolist()
+                    r = self.evaluate_tensile(events, bars, values, sub)
+                else:
+                    track = int(py_rng.integers(len(track_names)))
+                    value = int(py_rng.integers(0, 10))
+                    r = self.evaluate_track_control(events, track, kind, value, sub)
+                results[kind].diffs.extend(r.diffs)
+                results[kind].failures += r.failures
+        return {k: v.summary() for k, v in results.items()}

@@ -59,7 +59,13 @@ def get_beat_time(score: MidiScore, beat_division: int = 4):
 
     down_beats = score.get_downbeats()
     if divided[-1] > down_beats[-1]:
-        down_beats = np.append(down_beats, down_beats[-1] - down_beats[-2] + down_beats[-1])
+        if len(down_beats) >= 2:
+            down_beats = np.append(
+                down_beats, down_beats[-1] - down_beats[-2] + down_beats[-1]
+            )
+        else:
+            # single-bar input: close the bar at the end of the grid
+            down_beats = np.append(down_beats, divided[-1])
     down_beats = np.unique(down_beats)
     down_beat_indices = [int(np.argmin(np.abs(db - divided))) for db in down_beats]
     return divided, beats, down_beats, beat_indices, down_beat_indices

@@ -1,0 +1,79 @@
+"""Controllability harness tests (tiny random model: flow + metrics math)."""
+
+import jax
+import numpy as np
+import pytest
+
+from smer_music_generation_tpu.eval.controllability import (
+    ControllabilityEvaluator,
+    apply_unk_mode,
+    recompute_bar_tension,
+    recompute_bar_track_control,
+    recompute_track_controls,
+)
+from smer_music_generation_tpu.codec.structure import bar_with_track_positions
+from smer_music_generation_tpu.vocab import CONTROL_SETS, WordVocab
+from tests.test_infer import mode2_events, tiny_engine, vocab  # fixtures
+
+
+def test_recompute_track_controls_matches_annotation(vocab, mode2_events):
+    events, controls = mode2_events
+    achieved = recompute_track_controls(events)
+    assert achieved is not None
+    # the annotation pipeline computed these same controls at encode time
+    assert achieved["density"][0] == controls["track_0"]["density"]
+    assert achieved["occupation"][0] == controls["track_0"]["occupation"]
+    assert achieved["polyphony"][0] == controls["track_0"]["polyphony"]
+
+
+def test_recompute_bar_track_control(vocab, mode2_events):
+    events, controls = mode2_events
+    _, _, bars = bar_with_track_positions(events)
+    track_start, track_end = bars[0][0]
+    body = events[track_start + 3 : track_end - 3]
+    headers = [events[0], events[1], "i_0"]
+    d, o, y = recompute_bar_track_control(body, headers)
+    assert d == controls["bar_density"]["track_0"][0]
+    assert 0 <= o <= 9 and 0 <= y <= 9
+
+
+def test_recompute_bar_tension(vocab, mode2_events):
+    events, controls = mode2_events
+    _, bar_poses, _ = bar_with_track_positions(events)
+    lo, hi = bar_poses[0], bar_poses[1]
+    headers = [events[0], events[1], "i_0", "i_32"]
+    t = recompute_bar_tension(events[lo + 1 : hi], headers)
+    assert t is not None and 0 <= t <= 11
+
+
+def test_apply_unk_mode(vocab, mode2_events):
+    events, _ = mode2_events
+    out = apply_unk_mode(list(events), vocab, 3, keep_track=0)
+    _, bar_poses, bars = bar_with_track_positions(out)
+    # tension blanked
+    assert all(out[bp + 1] == "unk" for bp in bar_poses if out[bp + 1] != "unk") or any(
+        out[bp + 1] == "unk" for bp in bar_poses
+    )
+    # track 1 leading controls blanked, track 0 kept
+    t0_start = bars[0][0][0]
+    t1_start = bars[0][1][0]
+    assert out[t0_start].startswith("d_")
+    assert out[t1_start] == "unk"
+
+
+def test_evaluator_tensile_flow(vocab, mode2_events, tiny_engine):
+    events, _ = mode2_events
+    ev = ControllabilityEvaluator(tiny_engine, vocab)
+    res = ev.evaluate_tensile(events, [1], [5], jax.random.PRNGKey(3))
+    assert res.failures + len(res.diffs) == 1
+    for d in res.diffs:
+        assert 0 <= d <= 11
+
+
+def test_evaluator_track_control_flow(vocab, mode2_events, tiny_engine):
+    events, _ = mode2_events
+    ev = ControllabilityEvaluator(tiny_engine, vocab)
+    res = ev.evaluate_track_control(events, 0, "density", 4, jax.random.PRNGKey(5))
+    assert res.failures + len(res.diffs) == 1
+    summary = res.summary()
+    assert summary["control"] == "density"
