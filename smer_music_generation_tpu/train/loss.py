@@ -119,6 +119,46 @@ def multihead_ce(
     return total, per_head
 
 
+def soft_label_weights(
+    vocab_size: int,
+    target_index_range: Tuple[int, int],
+    distance: str = "medium",
+) -> np.ndarray:
+    """Ordinal soft-label matrix over a contiguous token range.
+
+    Reference ``soft_label`` / ``phi`` (``train.py:71-88``): softmax over
+    the negative pairwise distances of the in-range ordinal positions
+    (|d| for 'small', d^2 for 'medium', 2 d^2 for 'large').  Defined for
+    parity with the reference's (unused-by-default) ``OrdinalLoss``.
+    """
+    lo, hi = target_index_range
+    n = hi - lo + 1
+    idx = np.arange(n, dtype=np.float64)
+    diff = idx[:, None] - idx[None, :]
+    if distance == "small":
+        phi = np.abs(diff)
+    elif distance == "large":
+        phi = 2 * np.square(diff)
+    else:
+        phi = np.square(diff)
+    w = np.exp(-phi)
+    w = w / w.sum(axis=0, keepdims=True)
+    out = np.zeros((vocab_size, vocab_size), dtype=np.float32)
+    out[lo : hi + 1, lo : hi + 1] = w
+    return out
+
+
+def ordinal_loss(
+    logits: jax.Array,
+    targets: jax.Array,
+    weights: np.ndarray,
+) -> jax.Array:
+    """Mean soft-label cross entropy (reference ``OrdinalLoss.forward``)."""
+    logp = jax.nn.log_softmax(logits.reshape(-1, logits.shape[-1]), axis=-1)
+    target_w = jnp.asarray(weights)[targets.reshape(-1)]
+    return jnp.mean(jnp.sum(-target_w * logp, axis=1))
+
+
 def per_class_accuracy(
     logits: jax.Array, targets: jax.Array, tables: Dict
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
