@@ -162,6 +162,40 @@ def _flush_chord_group(
     out.extend(duration_event)
 
 
+_USE_NATIVE_TOKENIZER = True
+
+
+def set_native_tokenizer(enabled: bool) -> None:
+    """Toggle the C++ tokenizer core (``native/smer_tokenizer.cpp``)."""
+    global _USE_NATIVE_TOKENIZER
+    _USE_NATIVE_TOKENIZER = enabled
+
+
+def tokenize_bar(
+    notes: List[Note],
+    bar_time: float,
+    next_bar_time: float,
+    beat_times: Sequence[float],
+    table: DurationTable,
+    minimum_difference: float,
+    grid_division: int = 4,
+) -> Tuple[List[str], Dict[int, Note]]:
+    """Per-bar tokenization; dispatches to the native core when built."""
+    if _USE_NATIVE_TOKENIZER:
+        from ..native.tokenizer import bar_notes_to_event_native
+
+        result = bar_notes_to_event_native(
+            notes, bar_time, next_bar_time, beat_times, table,
+            minimum_difference, grid_division=grid_division,
+        )
+        if result is not None:
+            return result
+    return bar_notes_to_event(
+        notes, bar_time, next_bar_time, beat_times, table,
+        minimum_difference, grid_division=grid_division,
+    )
+
+
 def bar_notes_to_event(
     notes: List[Note],
     bar_time: float,
@@ -339,7 +373,7 @@ def midi_to_events_window(
                 beat_in_this_bar = beats[dbi[bar] : dbi[bar + 1] + 1]
             if continue_note_dict:
                 bar_notes = list(continue_note_dict.values()) + bar_notes
-            bar_events, continue_note_dict = bar_notes_to_event(
+            bar_events, continue_note_dict = tokenize_bar(
                 bar_notes,
                 bar_time,
                 next_bar_time,
@@ -442,7 +476,7 @@ def midi_to_events(
             beat_in_this_bar = beats[dbi[bar] : dbi[bar + 1] + 1]
             if continue_note_dict:
                 bar_notes = list(continue_note_dict.values()) + bar_notes
-            bar_events, continue_note_dict = bar_notes_to_event(
+            bar_events, continue_note_dict = tokenize_bar(
                 bar_notes,
                 bar_time,
                 next_bar_time,

@@ -1,0 +1,290 @@
+// SMER tokenizer core: per-bar note gridding + chord grouping + duration
+// snapping, the hot loop of the bulk MIDI->SMER dataset build.
+//
+// The reference performs this per-note work in Python
+// (encode.py:900-1141 grid_notes / bar_notes_to_event); this native core
+// implements the same semantics (including the framework's documented
+// divergences: deleted zero-length notes are dropped, the trailing flush
+// uses continue-first ordering) behind a C ABI consumed via ctypes.
+//
+// Token stream encoding (int32):
+//   -1 = rest, -2 = sep, -3 = continue
+//   1000 + midi_pitch   = pitch token
+//   2000 + table_index  = duration-table entry (caller expands to parts)
+//
+// Build: g++ -O3 -march=native -shared -fPIC -o libsmer_tokenizer.so \
+//            smer_tokenizer.cpp
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <vector>
+
+namespace {
+
+struct Note {
+  double start;
+  double end;
+  int pitch;
+  int velocity;  // -1 marks a continuation note
+};
+
+int snap_duration(double d, const double* times, int n_times) {
+  int best = 0;
+  double best_diff = std::abs(d - times[0]);
+  for (int i = 1; i < n_times; ++i) {
+    double diff = std::abs(d - times[i]);
+    if (diff < best_diff) {
+      best_diff = diff;
+      best = i;
+    }
+  }
+  return best;
+}
+
+struct Emitter {
+  int32_t* out;
+  int max_out;
+  int n = 0;
+  bool overflow = false;
+
+  void push(int32_t code) {
+    if (n < max_out) {
+      out[n++] = code;
+    } else {
+      overflow = true;
+    }
+  }
+};
+
+struct ContinueOut {
+  int32_t* pitches;
+  double* ends;
+  int max_n;
+  int n = 0;
+
+  void add(int pitch, double end) {
+    if (n < max_n) {
+      // reference semantics: dict keyed by pitch -> later wins
+      for (int i = 0; i < n; ++i) {
+        if (pitches[i] == pitch) {
+          ends[i] = end;
+          return;
+        }
+      }
+      pitches[n] = pitch;
+      ends[n] = end;
+      ++n;
+    }
+  }
+};
+
+// zero_index: table index whose entry is the 'zero' duration (emits nothing)
+void emit_duration(Emitter& em, double d, const double* times, int n_times,
+                   int zero_index) {
+  int idx = snap_duration(d, times, n_times);
+  if (idx == zero_index) return;
+  em.push(2000 + idx);
+}
+
+bool duration_is_zero(double d, const double* times, int n_times,
+                      int zero_index) {
+  return snap_duration(d, times, n_times) == zero_index;
+}
+
+void flush_chord_group(std::vector<Note>& chord, double next_bar_time,
+                       const double* times, int n_times, int zero_index,
+                       Emitter& em, ContinueOut& cont_out) {
+  // continue-first ordering, each half sorted by pitch
+  std::stable_sort(chord.begin(), chord.end(), [](const Note& a, const Note& b) {
+    bool ca = a.velocity == -1, cb = b.velocity == -1;
+    if (ca != cb) return ca > cb;
+    return a.pitch < b.pitch;
+  });
+  // remove adjacent duplicate pitches, keeping the later entry
+  std::vector<Note> dedup;
+  for (size_t i = 0; i < chord.size(); ++i) {
+    if (i + 1 < chord.size() && chord[i].pitch == chord[i + 1].pitch) continue;
+    dedup.push_back(chord[i]);
+  }
+
+  auto emit_note = [&](const Note& note) -> double {
+    if (note.end > next_bar_time) {
+      cont_out.add(note.pitch, note.end);
+      return next_bar_time - note.start;
+    }
+    return note.end - note.start;
+  };
+
+  double group_dur = 0.0;
+  bool has_cont = false, has_new = false;
+  for (const auto& nte : dedup) {
+    if (nte.velocity == -1) has_cont = true;
+    else has_new = true;
+  }
+
+  if (has_cont) {
+    em.push(-3);  // continue
+    for (const auto& nte : dedup) {
+      if (nte.velocity != -1) continue;
+      em.push(1000 + nte.pitch);
+      group_dur = emit_note(nte);
+    }
+    if (has_new) {
+      emit_duration(em, group_dur, times, n_times, zero_index);
+      em.push(-2);  // sep
+    }
+  }
+  if (has_new) {
+    for (const auto& nte : dedup) {
+      if (nte.velocity == -1) continue;
+      em.push(1000 + nte.pitch);
+      group_dur = emit_note(nte);
+    }
+  }
+  emit_duration(em, group_dur, times, n_times, zero_index);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Tokenize one bar of one track.  Returns the number of emitted token
+// codes, or -1 on output overflow.  `n_continue_out` receives the number
+// of tie-notes carried into the next bar.
+int smer_tokenize_bar(
+    const double* starts, const double* ends, const int32_t* pitches,
+    const int32_t* velocities, int n_notes,
+    double bar_time, double next_bar_time,
+    const double* beat_times, int n_beats,
+    double minimum_difference, int grid_division, int do_grid,
+    const double* dur_times, int n_durs, int zero_index,
+    int32_t* out_tokens, int max_out,
+    int32_t* cont_pitches, double* cont_ends, int max_cont,
+    int32_t* n_continue_out) {
+  Emitter em{out_tokens, max_out};
+  ContinueOut cont{cont_pitches, cont_ends, max_cont};
+
+  std::vector<Note> notes;
+  notes.reserve(n_notes);
+  for (int i = 0; i < n_notes; ++i) {
+    notes.push_back({starts[i], ends[i], pitches[i], velocities[i]});
+  }
+
+  if (!notes.empty() && do_grid) {
+    // build the divided grid (grid_notes, encode.py:900-936)
+    std::vector<double> grid;
+    grid.reserve((n_beats - 1) * grid_division + 1);
+    for (int i = 0; i + 1 < n_beats; ++i) {
+      for (int j = 0; j < grid_division; ++j) {
+        grid.push_back((beat_times[i + 1] - beat_times[i]) / grid_division * j +
+                       beat_times[i]);
+      }
+    }
+    grid.push_back(beat_times[n_beats - 1]);
+    const int G = static_cast<int>(grid.size());
+
+    auto nearest = [&](double t) {
+      int best = 0;
+      double bd = std::abs(t - grid[0]);
+      for (int g = 1; g < G; ++g) {
+        double d = std::abs(t - grid[g]);
+        if (d < bd) {
+          bd = d;
+          best = g;
+        }
+      }
+      return best;
+    };
+
+    for (auto& nte : notes) {
+      int sg = nearest(nte.start);
+      if (nte.velocity == -1 && nte.end > grid[G - 1]) nte.end = grid[G - 1];
+      if (nte.end < grid[G - 1] + minimum_difference) {
+        int eg = nearest(nte.end);
+        if (sg == eg) {
+          if (eg != G - 1) {
+            eg += 1;
+          } else if (sg != 0) {
+            sg -= 1;
+          } else {
+            nte.start = -1.0;
+            nte.end = -1.0;
+            continue;
+          }
+        }
+        nte.start = grid[sg];
+        nte.end = grid[eg];
+      } else {
+        nte.start = grid[sg];
+      }
+    }
+    notes.erase(std::remove_if(notes.begin(), notes.end(),
+                               [](const Note& x) { return x.start < 0; }),
+                notes.end());
+    std::stable_sort(notes.begin(), notes.end(), [](const Note& a, const Note& b) {
+      if (a.start != b.start) return a.start < b.start;
+      if (a.end != b.end) return a.end < b.end;
+      return a.pitch < b.pitch;
+    });
+  }
+
+  double rest_start =
+      notes.empty() ? next_bar_time - bar_time : notes[0].start - bar_time;
+  if (!duration_is_zero(rest_start, dur_times, n_durs, zero_index)) {
+    em.push(-1);
+    emit_duration(em, rest_start, dur_times, n_durs, zero_index);
+  }
+
+  std::vector<Note> chord;
+  for (size_t i = 0; i < notes.size(); ++i) {
+    const Note& nte = notes[i];
+    if (chord.empty()) {
+      chord.push_back(nte);
+      continue;
+    }
+    const Note& last = chord.back();
+    bool same_onset = std::abs(nte.start - last.start) < minimum_difference;
+    if (nte.end > next_bar_time && same_onset &&
+        std::abs(next_bar_time - last.end) < minimum_difference) {
+      chord.push_back(nte);
+    } else if (same_onset && std::abs(nte.end - last.end) < minimum_difference) {
+      chord.push_back(nte);
+    } else {
+      Note prev_last = chord.back();
+      flush_chord_group(chord, next_bar_time, dur_times, n_durs, zero_index, em,
+                        cont);
+      if (nte.start >= prev_last.end) {
+        double rest = nte.start - prev_last.end;
+        if (!duration_is_zero(rest, dur_times, n_durs, zero_index)) {
+          em.push(-1);
+          emit_duration(em, rest, dur_times, n_durs, zero_index);
+        }
+      } else {
+        em.push(-2);
+        emit_duration(em, nte.start - prev_last.start, dur_times, n_durs,
+                      zero_index);
+      }
+      chord.clear();
+      chord.push_back(nte);
+    }
+  }
+
+  if (!chord.empty()) {
+    Note last = chord.back();
+    flush_chord_group(chord, next_bar_time, dur_times, n_durs, zero_index, em,
+                      cont);
+    if (last.end < next_bar_time) {
+      double rest = next_bar_time - last.end;
+      if (!duration_is_zero(rest, dur_times, n_durs, zero_index)) {
+        em.push(-1);
+        emit_duration(em, rest, dur_times, n_durs, zero_index);
+      }
+    }
+  }
+
+  *n_continue_out = cont.n;
+  return em.overflow ? -1 : em.n;
+}
+
+}  // extern "C"
