@@ -1,0 +1,75 @@
+"""CLI: controllability evaluation over a packed test split.
+
+    python -m smer_music_generation_tpu.eval.eval_cli \
+        --checkpoint ... --test_batches path/smer_test [--max_windows 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from ..data.pack import load_batches
+from ..infer.engine import InfillEngine
+from ..train.checkpoint import restore_checkpoint
+from ..train.state import TrainState, build_model
+from ..utils.config import ExperimentConfig
+from ..utils.logging import logger_init
+from ..vocab import WordVocab
+from .controllability import ControllabilityEvaluator
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--checkpoint", type=str, default=None)
+    parser.add_argument("--config", type=str, default=None)
+    parser.add_argument("--test_batches", type=str, required=True)
+    parser.add_argument("--output", type=str, default="eval_results.json")
+    parser.add_argument("--max_windows", type=int, default=20)
+    parser.add_argument("--unk_mode", type=int, default=0, choices=[0, 1, 2, 3])
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    logger = logger_init(None)
+    cfg = ExperimentConfig.load(args.config) if args.config else ExperimentConfig()
+    vocab = WordVocab(cfg.vocab_mode, cfg.control_list)
+    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    model = build_model(
+        vocab.vocab_size, d_model=cfg.d_model, nhead=cfg.nhead,
+        num_layers=cfg.num_layers, d_ff=cfg.d_ff, max_len=cfg.max_seq,
+        dropout=0.0, dtype=dtype,
+    )
+    params = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.ones((1, 16), jnp.int32), jnp.ones((1, 16), jnp.int32),
+    )
+    if args.checkpoint:
+        state = TrainState.create(params, lr=cfg.lr)
+        state, epoch, _ = restore_checkpoint(args.checkpoint, state)
+        params = state.params
+        logger.info(f"loaded checkpoint {args.checkpoint} (epoch {epoch})")
+    else:
+        logger.warning("evaluating RANDOM weights (no --checkpoint)")
+
+    groups, _ = load_batches(args.test_batches)
+    windows = [w for g in groups for w in g]
+    logger.info(f"{len(windows)} test windows")
+
+    engine = InfillEngine(model, params, vocab)
+    evaluator = ControllabilityEvaluator(engine, vocab, unk_mode=args.unk_mode)
+    results = evaluator.run(windows, seed=args.seed, max_windows=args.max_windows)
+    for k, v in results.items():
+        logger.info(f"{k}: n={v['n']} mean |set-achieved| = {v['mean_abs_diff']}")
+    with open(args.output, "w") as f:
+        json.dump(results, f, indent=2)
+    logger.info(f"wrote {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,69 @@
+"""CLI: start the infilling HTTP server.
+
+    python -m smer_music_generation_tpu.serve.serve_cli \
+        --checkpoint runs/default/checkpoints/checkpoint_9 [--port 5000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from ..train.checkpoint import restore_checkpoint
+from ..train.state import TrainState, build_model
+from ..utils.config import ExperimentConfig
+from ..utils.logging import logger_init
+from ..vocab import WordVocab
+from .app import ServingContext, serve
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--checkpoint", type=str, default=None)
+    parser.add_argument("--config", type=str, default=None)
+    parser.add_argument("--host", type=str, default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=5000)
+    parser.add_argument("--nucleus_p", type=float, default=0.9)
+    parser.add_argument("--temperature", type=float, default=1.0)
+    args = parser.parse_args(argv)
+
+    logger = logger_init(None)
+    cfg = ExperimentConfig.load(args.config) if args.config else ExperimentConfig()
+    vocab = WordVocab(cfg.vocab_mode, cfg.control_list)
+    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    model = build_model(
+        vocab.vocab_size, d_model=cfg.d_model, nhead=cfg.nhead,
+        num_layers=cfg.num_layers, d_ff=cfg.d_ff, max_len=cfg.max_seq,
+        dropout=0.0, dtype=dtype,
+    )
+    params = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.ones((1, 16), jnp.int32), jnp.ones((1, 16), jnp.int32),
+    )
+    if args.checkpoint:
+        state = TrainState.create(params, lr=cfg.lr)
+        state, epoch, loss = restore_checkpoint(args.checkpoint, state)
+        params = state.params
+        logger.info(f"loaded checkpoint {args.checkpoint} (epoch {epoch})")
+    else:
+        logger.warning("serving with RANDOM weights (no --checkpoint given)")
+
+    ctx = ServingContext(
+        model, params, vocab, nucleus_p=args.nucleus_p, temperature=args.temperature
+    )
+    server = serve(ctx, host=args.host, port=args.port)
+    logger.info(f"serving on {server.server_address}")
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        server.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
