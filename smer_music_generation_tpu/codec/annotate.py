@@ -226,6 +226,29 @@ def add_control_events(
     return events, all_controls
 
 
+def file_info(score: MidiScore) -> Optional[Dict]:
+    """Song-level summary for the serving UI: voted key, tempo, counts
+    (reference ``encode.py:817-897``)."""
+    from ..features.keyvote import vote_key
+    from ..features.tension import score_tension
+
+    track_num = len(score.instruments)
+    bar_num = len(np.unique(score.get_downbeats()))
+    tempo = float(score.get_tempo_changes()[1][0])
+    res = score_tension(score)
+    spiral_key = res[2] if res else None
+    drumless = res[3] if res else score
+    voted = vote_key(spiral_key, drumless)
+    if voted is None:
+        return None
+    return {
+        "key": voted[0],
+        "tempo": tempo,
+        "track_num": track_num,
+        "bar_num": int(bar_num),
+    }
+
+
 def encode_midi(
     score: MidiScore,
     controls: Optional[Dict] = None,

@@ -237,6 +237,56 @@ def process_song(
     return windows
 
 
+def process_whole_song(
+    file_events: Sequence[str],
+    mode: int = 0,
+) -> Optional[List[str]]:
+    """Whole-song control annotation (no 16-bar windowing).
+
+    Reference ``add_whole_control_event`` / ``cal_whole_file``
+    (``create_dataset.py:1120-1278``): song-level track controls + per-bar
+    tension inserted over the full song.  The reference also inserts
+    ``a_*`` cloud-diameter tokens that are not part of its live vocabulary;
+    those are omitted here.
+    """
+    file_events = np.array(file_events, dtype=object)
+    if mode == 0:
+        total = events_to_midi(list(file_events), velocities=CORPUS_VELOCITIES)
+    else:
+        total = remi_to_midi(list(file_events))
+    if total is None:
+        return None
+    res = score_tension(total)
+    if res is None:
+        return None
+    tensiles, diameters, key, _ = res
+
+    track_programs = programs_of(list(file_events))
+    if not track_programs:
+        return None
+    header_events = list(file_events[: 2 + len(track_programs)])
+    bar_pos = np.where(file_events == "bar")[0]
+    total_bars = min(len(tensiles), len(diameters), len(bar_pos))
+    if total_bars < 1:
+        return None
+    if total_bars < len(bar_pos):
+        file_events = file_events[: bar_pos[total_bars]]
+        bar_pos = bar_pos[:total_bars]
+
+    result = add_control_events(
+        np.array(file_events[bar_pos[0] :]),
+        header_events,
+        key,
+        list(tensiles[:total_bars]),
+        total,
+        remove_continue=True,
+        add_bar=False,
+    )
+    if result is None:
+        return None
+    return result[0]
+
+
 def build_file(
     midi_path: str,
     out_dir: str,

@@ -101,3 +101,30 @@ def test_split_ratios():
     tr, va, te = split_train_valid_test(files, 0.8, 0.1)
     assert len(tr) == 80 and len(va) == 10 and len(te) == 10
     assert set(tr) | set(va) | set(te) == set(files)
+
+
+def test_process_whole_song(long_song_events):
+    from smer_music_generation_tpu.data.build import process_whole_song
+
+    out = process_whole_song(long_song_events)
+    assert out is not None
+    vocab = WordVocab(0, CONTROL_SETS[5])
+    vocab.encode(out)
+    # whole song: as many bars as the source, tension per bar, no
+    # per-bar-track d/o/y triplets after track tokens
+    n_bars = out.count("bar")
+    assert n_bars == long_song_events.count("bar")
+    assert sum(1 for t in out if t.startswith("s_")) == n_bars
+    first_track = out.index("track_0")
+    assert not out[first_track + 1].startswith("d_")
+
+
+def test_file_info():
+    from smer_music_generation_tpu.codec.annotate import file_info
+
+    score = make_two_track_score(bars=12, seed=4)
+    info = file_info(score)
+    assert info is not None
+    assert info["track_num"] == 2
+    assert info["bar_num"] >= 12
+    assert " major" in info["key"] or " minor" in info["key"]
