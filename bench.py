@@ -1,41 +1,46 @@
-"""Benchmark: infill decode throughput on the flagship model.
+"""Benchmarks for the driver metric set (BASELINE.json):
 
-Measures the driver metric (BASELINE.json): infill tokens/sec/chip and p50
-16-bar infill latency, against the structural reference cost model — the
-reference re-runs the full encoder + decoder prefix per emitted token
-(``generation.py:209-225``), so the baseline is measured here as the same
-model driven one full forward per token on this chip.
+default   : single-session infill tokens/sec/chip + p50 latency (one JSON line)
+--all     : adds batched serving decode (config 5) and bulk MIDI->SMER
+            dataset build files/sec (config 4); details to BENCH_DETAILS.json
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The "vs_baseline" ratio compares against the reference's structural decode
+cost: a full encoder+decoder re-forward per emitted token
+(``generation.py:209-225``), measured with the same model on this chip.
 """
 
+import argparse
 import json
+import os
 import sys
+import tempfile
 import time
 
 import numpy as np
 
 
-def main():
+def build_flagship():
     import jax
     import jax.numpy as jnp
 
-    from smer_music_generation_tpu.codec.annotate import encode_midi
-    from smer_music_generation_tpu.infer.engine import InfillEngine, change_controls
-    from smer_music_generation_tpu.models.transformer import ScoreTransformer
     from smer_music_generation_tpu.train.state import build_model
     from smer_music_generation_tpu.vocab import CONTROL_SETS, WordVocab
-    from tests.test_annotate import make_two_track_score
 
     vocab = WordVocab(0, CONTROL_SETS[5])
-    model = build_model(vocab.vocab_size, dtype=jnp.bfloat16)
+    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    model = build_model(vocab.vocab_size, dtype=dtype)
+    params = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.ones((1, 64), jnp.int32), jnp.ones((1, 64), jnp.int32),
+    )
+    return vocab, model, params
 
-    rng = jax.random.PRNGKey(0)
-    init_src = jnp.ones((1, 64), dtype=jnp.int32)
-    init_tgt = jnp.ones((1, 64), dtype=jnp.int32)
-    params = jax.jit(model.init)({"params": rng}, init_src, init_tgt)
 
-    # 16-bar two-track serving stream (control mode 2)
+def serving_events(vocab):
+    from smer_music_generation_tpu.codec.annotate import encode_midi
+    from smer_music_generation_tpu.infer.engine import change_controls
+    from tests.test_annotate import make_two_track_score
+
     score = make_two_track_score()
     events, controls = encode_midi(
         score, controls={"key": None}, track_names=["track_0", "track_1"]
@@ -43,54 +48,126 @@ def main():
     controls["bar_track"] = 0
     controls["track_0_c"] = controls["track_0"]
     controls["track_1_c"] = controls["track_1"]
-    events = change_controls(events, controls, vocab)
+    return change_controls(events, controls, vocab)
 
-    engine = InfillEngine(
-        model, params, vocab, nucleus_p=0.9, temperature=1.0, max_tgt_len=1024
-    )
 
-    bars = list(range(8))  # 8-bar, 1-track infill: 8 x (body + 3 controls)
-    # warmup / compile
-    res = engine(events, [0], bars, jax.random.PRNGKey(1))
-    assert res is not None
+def bench_single(vocab, model, params):
+    import jax
+    import jax.numpy as jnp
 
-    lat = []
-    tokens_out = []
+    from smer_music_generation_tpu.infer.engine import InfillEngine
+
+    events = serving_events(vocab)
+    engine = InfillEngine(model, params, vocab, nucleus_p=0.9, max_tgt_len=1024)
+    bars = list(range(8))
+    engine(events, [0], bars, jax.random.PRNGKey(1))  # warmup/compile
+
+    lat, toks = [], []
     for i in range(5):
         t0 = time.perf_counter()
         res = engine(events, [0], bars, jax.random.PRNGKey(2 + i))
-        dt = time.perf_counter() - t0
-        lat.append(dt)
-        tokens_out.append(res.decode_steps)
+        lat.append(time.perf_counter() - t0)
+        toks.append(res.decode_steps)
 
-    p50 = float(np.percentile(lat, 50))
-    toks_per_sec = float(np.mean([t / l for t, l in zip(tokens_out, lat)]))
-
-    # structural baseline: full enc+dec re-forward per token (the reference
-    # decode cost), measured with the same model/jit on this chip
+    # structural baseline: one full forward per token
     fwd = jax.jit(lambda p, s, t: model.apply(p, s, t)[0])
     src = jnp.ones((1, 512), dtype=jnp.int32)
-    n_base = 16
-    tgt_half = jnp.ones((1, 50), dtype=jnp.int32)
-    fwd(params, src, tgt_half).block_until_ready()
+    tgt = jnp.ones((1, 50), dtype=jnp.int32)
+    fwd(params, src, tgt).block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(n_base):
-        fwd(params, src, tgt_half).block_until_ready()
-    base_dt = (time.perf_counter() - t0) / n_base
-    base_toks_per_sec = 1.0 / base_dt  # one token per full forward
+    for _ in range(16):
+        fwd(params, src, tgt).block_until_ready()
+    base_tok_s = 16 / (time.perf_counter() - t0)
 
-    print(
-        json.dumps(
-            {
-                "metric": "infill_tokens_per_sec_per_chip",
-                "value": round(toks_per_sec, 2),
-                "unit": "tokens/s",
-                "vs_baseline": round(toks_per_sec / base_toks_per_sec, 2),
-                "p50_latency_s": round(p50, 4),
-                "decode_tokens": int(np.mean(tokens_out)),
-            }
-        )
-    )
+    tok_s = float(np.mean([t / l for t, l in zip(toks, lat)]))
+    return {
+        "metric": "infill_tokens_per_sec_per_chip",
+        "value": round(tok_s, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(tok_s / base_tok_s, 2),
+        "p50_latency_s": round(float(np.percentile(lat, 50)), 4),
+        "decode_tokens": int(np.mean(toks)),
+    }
+
+
+def bench_batched(vocab, model, params, batch=16):
+    """Config 5: many infill sessions decoded as one batched program."""
+    import jax
+
+    from smer_music_generation_tpu.infer.decode import InfillDecoder, pad_to_bucket
+    from smer_music_generation_tpu.infer.engine import mask_bar_and_track
+
+    events = serving_events(vocab)
+    res = mask_bar_and_track(events, vocab, [0], list(range(8)))
+    src, span_codes, _, _ = res
+    decoder = InfillDecoder(model, vocab, max_tgt_len=1024, nucleus_p=0.9)
+    src_b = np.repeat(pad_to_bucket(src[None, :]), batch, axis=0)
+    span_types = np.zeros((batch, decoder.max_spans), dtype=np.int32)
+    span_types[:, : len(span_codes)] = span_codes
+    n_spans = np.full((batch,), len(span_codes), dtype=np.int32)
+
+    out = decoder(params, src_b, span_types, n_spans, False, jax.random.PRNGKey(0))
+    jax.block_until_ready(out.tokens)
+    lat, total_toks = [], []
+    for i in range(3):
+        t0 = time.perf_counter()
+        out = decoder(params, src_b, span_types, n_spans, False, jax.random.PRNGKey(i))
+        jax.block_until_ready(out.tokens)
+        lat.append(time.perf_counter() - t0)
+        total_toks.append(int(np.sum(np.asarray(out.lengths))))
+    tok_s = float(np.mean([t / l for t, l in zip(total_toks, lat)]))
+    return {
+        "batch": batch,
+        "batched_tokens_per_sec": round(tok_s, 2),
+        "p50_latency_s": round(float(np.percentile(lat, 50)), 4),
+    }
+
+
+def bench_dataset_build(n_files=24):
+    """Config 4: bulk MIDI->SMER dataset build throughput."""
+    from smer_music_generation_tpu.data.build import build_file
+    from tests.test_annotate import make_two_track_score
+
+    with tempfile.TemporaryDirectory() as tmp:
+        paths = []
+        for i in range(n_files):
+            score = make_two_track_score(bars=24, seed=i)
+            path = os.path.join(tmp, f"song_{i}.mid")
+            score.write(path)
+            paths.append(path)
+        out_dir = os.path.join(tmp, "out")
+        t0 = time.perf_counter()
+        built = [build_file(p, out_dir, augment=False, seed=i) for i, p in enumerate(paths)]
+        dt = time.perf_counter() - t0
+    ok = sum(1 for b in built if b)
+    return {
+        "files": n_files,
+        "built": ok,
+        "files_per_sec": round(n_files / dt, 2),
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--all", action="store_true")
+    args = parser.parse_args()
+
+    vocab, model, params = build_flagship()
+    headline = bench_single(vocab, model, params)
+
+    if args.all:
+        details = {
+            "single": headline,
+            "batched_16": bench_batched(vocab, model, params, batch=16),
+            "dataset_build": bench_dataset_build(),
+        }
+        with open("BENCH_DETAILS.json", "w") as f:
+            json.dump(details, f, indent=2)
+        headline = dict(headline)
+        headline["batched_tokens_per_sec"] = details["batched_16"]["batched_tokens_per_sec"]
+        headline["build_files_per_sec"] = details["dataset_build"]["files_per_sec"]
+
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":
