@@ -306,6 +306,7 @@ class InfillEngine:
         bars_to_generate: Sequence[int],
         rng,
         fix_durations: bool = True,
+        correct_controls: bool = False,
     ) -> Optional[InfillResult]:
         import jax
 
@@ -344,6 +345,10 @@ class InfillEngine:
 
         if fix_durations:
             restored = self._repair_durations(restored, table)
+        if correct_controls:
+            restored = self._correct_controls(
+                restored, mask_bar_names, mask_track_names
+            )
 
         return InfillResult(
             events=restored,
@@ -354,6 +359,45 @@ class InfillEngine:
         )
 
     # ------------------------------------------------------------------
+    def _correct_controls(
+        self, events: List[str], mask_bars: List[int], mask_tracks: List[int]
+    ) -> List[str]:
+        """Rewrite each regenerated slot's control copies with the
+        *measured* controls of the generated body.
+
+        Approximates the reference's ``use_correct_control``
+        (``evaluation.py:1217-1288``), which substitutes the measured
+        control during decoding; here the substitution is applied to the
+        restored stream after the (single-program) decode.
+        """
+        from ..eval.controllability import recompute_bar_track_control
+
+        out = list(events)
+        bar0 = next(i for i, t in enumerate(out) if t == "bar")
+        header = [out[0], out[1]] + [t for t in out[:bar0] if t.startswith("i_")]
+        _, _, bars = bar_with_track_positions(out)
+        for bar_num, track_num in zip(mask_bars, mask_tracks):
+            if bar_num >= len(bars) or track_num >= len(bars[bar_num]):
+                continue
+            track_start, track_end = bars[bar_num][track_num]
+            tensile_end = (
+                1
+                if out[track_end - 1] in self.vocab.name_to_tokens.get("tensile", [])
+                else 0
+            )
+            body = out[
+                track_start + TOTAL_TRACK_CONTROL_TYPES
+                : track_end - TOTAL_TRACK_CONTROL_TYPES - tensile_end
+            ]
+            d, o, y = recompute_bar_track_control(body, header)
+            if o < 0:
+                continue
+            tokens = [f"d_{d}", f"o_{o}", f"y_{y}"]
+            for k in range(TOTAL_TRACK_CONTROL_TYPES):
+                out[track_start + k] = tokens[k]
+                out[track_end - TOTAL_TRACK_CONTROL_TYPES - tensile_end + k] = tokens[k]
+        return out
+
     def _repair_durations(self, events: List[str], table: DurationTable) -> List[str]:
         """Check every track body sums to the bar duration; rewrite tails."""
         _, _, bars = bar_with_track_positions(events)

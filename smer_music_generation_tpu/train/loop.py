@@ -133,9 +133,15 @@ class Trainer:
         names = self.tables["class_names"]
         for step, batch in enumerate(loader):
             self._rng, sub = jax.random.split(self._rng)
-            self.state, m = self._train_step(
-                self.state, self._device_batch(batch), jnp.float32(eos_weight), sub
-            )
+            try:
+                self.state, m = self._train_step(
+                    self.state, self._device_batch(batch), jnp.float32(eos_weight), sub
+                )
+            except Exception as e:  # failure containment: skip the batch
+                # (reference behaviour: blanket try/except + continue,
+                # train.py:917-926; here scoped to the device step)
+                self.logger.error(f"step {step} failed: {type(e).__name__}: {e}")
+                continue
             losses.append(float(m["loss"]))
             for n, c, k in zip(names, np.asarray(m["correct_per_class"]), np.asarray(m["count_per_class"])):
                 acc_correct[n] += c

@@ -217,3 +217,21 @@ def test_infill_extends_song(vocab, mode2_events, tiny_engine):
                          rng=jax.random.PRNGKey(7))
     assert result is not None
     assert result.events.count("bar") == 18
+
+
+def test_infill_correct_controls(vocab, mode2_events, tiny_engine):
+    events, _ = mode2_events
+    result = tiny_engine(
+        events, tracks_to_generate=[0], bars_to_generate=[3],
+        rng=jax.random.PRNGKey(11), correct_controls=True,
+    )
+    assert result is not None
+    out = result.events
+    _, _, bars = bar_with_track_positions(out)
+    track_start, track_end = bars[3][0]
+    # leading and trailing control copies agree after correction
+    lead = out[track_start : track_start + 3]
+    tensile_end = 1 if out[track_end - 1].startswith("s_") else 0
+    trail = out[track_end - 3 - tensile_end : track_end - tensile_end]
+    assert lead == trail
+    assert lead[0].startswith("d_") and lead[1].startswith("o_") and lead[2].startswith("y_")
