@@ -343,7 +343,9 @@ class InfillEngine:
         src_tokens = [self.vocab.index2char(int(i)) for i in src]
         restored = restore_marked_input(src_tokens, generated)
 
-        if fix_durations:
+        if fix_durations and self.vocab.mode == 0:
+            # REMI (mode 1) has explicit onsets; bar-sum repair is a
+            # SMER-only concern
             restored = self._repair_durations(restored, table)
         if correct_controls:
             restored = self._correct_controls(

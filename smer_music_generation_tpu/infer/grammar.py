@@ -57,7 +57,7 @@ class GrammarState(NamedTuple):
 
 @dataclass
 class GrammarTables:
-    """Dense masks on device; build once per vocab."""
+    """Dense masks on device; build once per vocab (both encodings)."""
 
     pitch: jnp.ndarray
     duration_only: jnp.ndarray
@@ -65,6 +65,7 @@ class GrammarTables:
     rest: jnp.ndarray
     sep: jnp.ndarray
     continue_: jnp.ndarray
+    step: jnp.ndarray  # e_* onset tokens (mode 1 only; zeros in mode 0)
     eos: jnp.ndarray
     control: jnp.ndarray
     always_banned: jnp.ndarray  # program/structure/time-sig/tempo/pad/mask
@@ -73,6 +74,7 @@ class GrammarTables:
     eos_index: int
     mask_index: int
     vocab_size: int
+    mode: int  # 0 = SMER, 1 = REMI
 
     @classmethod
     def build(cls, vocab: WordVocab) -> "GrammarTables":
@@ -93,15 +95,15 @@ class GrammarTables:
         ):
             if name in m:
                 fam[code] = m[name]
+        zeros = np.zeros(V, bool)
         return cls(
             pitch=jnp.asarray(m["pitch"]),
             duration_only=jnp.asarray(m["duration_only"]),
-            whole=jnp.asarray(m.get("whole_duration", np.zeros(V, bool))),
-            rest=jnp.asarray(m["rest"]),
-            sep=jnp.asarray(m["sep"]),
-            continue_=jnp.asarray(
-                m.get("continue", np.zeros(V, bool))
-            ),
+            whole=jnp.asarray(m.get("whole_duration", zeros)),
+            rest=jnp.asarray(m.get("rest", zeros) if vocab.mode == 0 else zeros),
+            sep=jnp.asarray(m.get("sep", zeros) if vocab.mode == 0 else zeros),
+            continue_=jnp.asarray(m.get("continue", zeros)),
+            step=jnp.asarray(m.get("step", zeros)),
             eos=jnp.asarray(m["eos"]),
             control=jnp.asarray(m["control"]),
             always_banned=jnp.asarray(always),
@@ -110,6 +112,7 @@ class GrammarTables:
             eos_index=vocab.eos_index,
             mask_index=vocab.mask_index,
             vocab_size=V,
+            mode=vocab.mode,
         )
 
 
@@ -123,6 +126,9 @@ def allowed_mask(
     """(B, V) boolean mask, True = sampleable, per the dispatch priority."""
     B = state.in_sep.shape[0]
     V = t.vocab_size
+
+    if t.mode == 1:
+        return _allowed_mask_remi(t, state, is_start, span_type)
 
     dur = t.duration_only & ~jnp.where(no_whole_duration, t.whole, False)
 
@@ -153,11 +159,56 @@ def allowed_mask(
     return out
 
 
+def _allowed_mask_remi(
+    t: GrammarTables,
+    state: GrammarState,
+    is_start: jnp.ndarray,
+    span_type: jnp.ndarray,
+) -> jnp.ndarray:
+    """Mode-1 (REMI) grammar: a 3-state onset machine (reference
+    ``evaluation.py:1150-1213`` + ``sampling_step_single/multi``):
+
+    * A (default): expect an onset step ``e_*`` or ``<eos>``;
+    * B (``in_continue`` bit): just emitted a step -> expect a pitch;
+    * C (``in_pitch`` bit): in a pitch run -> pitch or ``n_*`` duration.
+    """
+    B = state.in_sep.shape[0]
+    V = t.vocab_size
+
+    state_a = t.step | t.eos
+    state_b = t.pitch
+    state_c = t.pitch | t.duration_only
+
+    def bcast(mask):
+        return jnp.broadcast_to(mask[None, :], (B, V))
+
+    start_mask = jnp.where(
+        (span_type != SPAN_BODY)[:, None],
+        t.span_family[span_type],
+        bcast(state_a),
+    )
+    out = bcast(state_a)
+    out = jnp.where(state.in_pitch[:, None], bcast(state_c), out)
+    out = jnp.where(state.in_continue[:, None], bcast(state_b), out)
+    out = jnp.where(is_start[:, None], start_mask, out)
+    return out
+
+
 def update_flags(t: GrammarTables, state: GrammarState, idx: jnp.ndarray) -> GrammarState:
-    """Transition on the sampled token (reference ``generation.py:654-671``)."""
-    is_cont = idx == t.continue_index
+    """Transition on the sampled token (reference ``generation.py:654-671``;
+    mode-1 transitions per ``evaluation.py:1150-1213``)."""
     is_pitch = t.pitch[idx]
     is_dur = t.duration_only[idx]
+    if t.mode == 1:
+        is_step = t.step[idx]
+        false = jnp.zeros_like(is_pitch)
+        return GrammarState(
+            in_sep=false,
+            in_continue=jnp.where(is_step, True, jnp.where(is_pitch | is_dur, False, state.in_continue)),
+            in_pitch=jnp.where(is_pitch, True, jnp.where(is_step | is_dur, False, state.in_pitch)),
+            in_rest=false,
+        )
+    is_cont = idx == t.continue_index
     is_sep = t.sep[idx]
     is_rest = t.rest[idx]
     return GrammarState(

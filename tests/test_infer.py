@@ -235,3 +235,71 @@ def test_infill_correct_controls(vocab, mode2_events, tiny_engine):
     trail = out[track_end - 3 - tensile_end : track_end - tensile_end]
     assert lead == trail
     assert lead[0].startswith("d_") and lead[1].startswith("o_") and lead[2].startswith("y_")
+
+
+# ---------------------------------------------------------------------------
+# REMI (mode 1) decode path
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def remi_vocab():
+    return WordVocab(1, CONTROL_SETS[5])
+
+
+def test_remi_grammar_states(remi_vocab):
+    t = GrammarTables.build(remi_vocab)
+    assert t.mode == 1
+    # state A: step or eos
+    state = GrammarState.zeros(1)
+    mask = np.asarray(allowed_mask(
+        t, state, jnp.array([False]), jnp.array([SPAN_BODY]), False
+    ))[0]
+    assert set(np.where(mask)[0]) == set(remi_vocab.step_indices) | {remi_vocab.eos_index}
+    # after a step -> pitch only
+    s = update_flags(t, state, jnp.array([remi_vocab.step_indices[3]]))
+    mask = np.asarray(allowed_mask(
+        t, s, jnp.array([False]), jnp.array([SPAN_BODY]), False
+    ))[0]
+    assert set(np.where(mask)[0]) == set(remi_vocab.pitch_indices)
+    # after a pitch -> pitch or duration
+    s = update_flags(t, s, jnp.array([remi_vocab.pitch_indices[0]]))
+    mask = np.asarray(allowed_mask(
+        t, s, jnp.array([False]), jnp.array([SPAN_BODY]), False
+    ))[0]
+    assert set(np.where(mask)[0]) == set(remi_vocab.pitch_indices) | set(
+        remi_vocab.duration_only_indices
+    )
+    # duration closes the run -> back to state A
+    s = update_flags(t, s, jnp.array([remi_vocab.duration_only_indices[3]]))
+    mask = np.asarray(allowed_mask(
+        t, s, jnp.array([False]), jnp.array([SPAN_BODY]), False
+    ))[0]
+    assert set(np.where(mask)[0]) == set(remi_vocab.step_indices) | {remi_vocab.eos_index}
+
+
+def test_remi_end_to_end_infill(remi_vocab, mode2_events):
+    from smer_music_generation_tpu.codec.remi import remi_to_midi, smer_to_remi
+    from smer_music_generation_tpu.data.masking import copy_bar_controls_to_end
+
+    smer_events, _ = mode2_events
+    # convert the SMER mode-2 stream to REMI; control layout carries over
+    remi_events = smer_to_remi(smer_events)
+    cfg = ModelConfig(
+        vocab_size=remi_vocab.vocab_size, d_model=32, nhead=4,
+        num_encoder_layers=1, num_decoder_layers=1, d_ff=64, max_len=2048,
+        dropout=0.0, pos_dropout=0.0,
+    )
+    model = ScoreTransformer(cfg)
+    params = model.init(
+        {"params": jax.random.PRNGKey(1)},
+        jnp.ones((1, 8), jnp.int32), jnp.ones((1, 8), jnp.int32),
+    )
+    engine = InfillEngine(model, params, remi_vocab, max_tgt_len=512)
+    result = engine(remi_events, tracks_to_generate=[0], bars_to_generate=[1],
+                    rng=jax.random.PRNGKey(2))
+    assert result is not None
+    out = result.events
+    assert "m_0" not in out
+    remi_vocab.encode(out)
+    assert remi_to_midi(out, 100.0) is not None
