@@ -73,3 +73,29 @@ def test_test_mode(tiny_cfg, mock_groups):
     result = trainer.test(mock_groups)
     assert np.isfinite(result["total"])
     assert "pitch_accuracy" in result or "total" in result
+
+
+def test_remi_mode_pipeline(tmp_path):
+    """Mode-1 (REMI) data build -> mask -> one train step."""
+    from smer_music_generation_tpu.codec.remi import smer_to_remi
+    from smer_music_generation_tpu.codec.smer import midi_to_events
+    from smer_music_generation_tpu.data.build import process_song
+
+    score = make_two_track_score(bars=24, seed=21)
+    events, _ = midi_to_events(score)
+    remi_events = smer_to_remi(events)
+    windows = process_song(remi_events, mode=1, augment=False)
+    assert windows
+    groups, _ = pack_windows(windows)
+    cfg = ExperimentConfig(
+        vocab_mode=1, d_model=32, nhead=4, num_layers=1, d_ff=64, max_seq=1664,
+        epochs=1, pretraining_epochs=1, batch_size=1, print_every=1,
+        output_dir=str(tmp_path), bf16=False,
+    )
+    trainer = Trainer(cfg)
+    assert trainer.vocab.vocab_size == 349
+    loader = trainer.make_loader(groups, pretraining=False)
+    batches = list(loader)
+    assert batches
+    result = trainer.test(groups)
+    assert np.isfinite(result["total"])
