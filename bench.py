@@ -19,6 +19,14 @@ import time
 import numpy as np
 
 
+def _enable_compile_cache():
+    """Persist compiled XLA programs so repeated bench runs skip the
+    (minutes-long, tunnel-bound) compile."""
+    from smer_music_generation_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+
 def build_flagship():
     import jax
     import jax.numpy as jnp
@@ -152,6 +160,7 @@ def main():
     parser.add_argument("--all", action="store_true")
     args = parser.parse_args()
 
+    _enable_compile_cache()
     vocab, model, params = build_flagship()
     headline = bench_single(vocab, model, params)
 

@@ -38,7 +38,15 @@ __all__ = [
     "Lyric",
     "MidiScore",
     "read_midi",
+    "remove_drum_tracks",
 ]
+
+
+def remove_drum_tracks(score: "MidiScore") -> "MidiScore":
+    """Drop drum instruments in place (reference ``encode.py:807-814`` /
+    ``tension_calculation.py:649-654``)."""
+    score.instruments = [i for i in score.instruments if not i.is_drum]
+    return score
 
 
 @dataclass

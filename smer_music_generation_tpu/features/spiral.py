@@ -114,6 +114,32 @@ CLASS_PAIR_DISTANCES = np.linalg.norm(
 )
 
 
+def note_to_key_pos(note_indices, key_pos) -> np.ndarray:
+    """Distances of chromatic notes to a key position (reference
+    ``tension_calculation.py:764-769``)."""
+    positions = pitch_index_to_position(NOTE_INDEX_TO_PITCH_INDEX[np.asarray(note_indices)])
+    return np.linalg.norm(positions - key_pos, axis=-1)
+
+
+def note_to_note_pos(note_indices, note_pos) -> np.ndarray:
+    positions = pitch_index_to_position(NOTE_INDEX_TO_PITCH_INDEX[np.asarray(note_indices)])
+    return np.linalg.norm(positions - note_pos, axis=-1)
+
+
+def chord_to_key_pos(chord_indices, key_pos) -> np.ndarray:
+    """Major then minor triad distances (reference ``:779-787``)."""
+    majors = [major_triad_position(NOTE_INDEX_TO_PITCH_INDEX[i]) for i in chord_indices]
+    minors = [minor_triad_position(NOTE_INDEX_TO_PITCH_INDEX[i]) for i in chord_indices]
+    return np.linalg.norm(np.array(majors + minors) - key_pos, axis=-1)
+
+
+def key_to_key_pos(key_indices, key_pos) -> np.ndarray:
+    """Major then minor key distances (reference ``:790-800``)."""
+    majors = [major_key_position(NOTE_INDEX_TO_PITCH_INDEX[i]) for i in key_indices]
+    minors = [minor_key_position(NOTE_INDEX_TO_PITCH_INDEX[i]) for i in key_indices]
+    return np.linalg.norm(np.array(majors + minors) - key_pos, axis=-1)
+
+
 def class_counts(piano_roll: np.ndarray) -> np.ndarray:
     """Fold a (128, T) roll into per-chromatic-class active counts (12, T)."""
     T = piano_roll.shape[1]

@@ -31,6 +31,9 @@ def main(argv=None) -> int:
     parser.add_argument("--temperature", type=float, default=1.0)
     args = parser.parse_args(argv)
 
+    from ..utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     logger = logger_init(None)
     cfg = ExperimentConfig.load(args.config) if args.config else ExperimentConfig()
     vocab = WordVocab(cfg.vocab_mode, cfg.control_list)
