@@ -303,3 +303,36 @@ def test_remi_end_to_end_infill(remi_vocab, mode2_events):
     assert "m_0" not in out
     remi_vocab.encode(out)
     assert remi_to_midi(out, 100.0) is not None
+
+
+def test_nucleus_distribution_matches_reference_rule():
+    """Empirical check of the masked nucleus sampler against a direct
+    transliteration of the reference's numpy nucleus rule
+    (generation.py:11-25)."""
+    from smer_music_generation_tpu.infer.sampling import masked_sample
+
+    rng = np.random.default_rng(0)
+    V = 24
+    logits = jnp.asarray(rng.normal(size=(1, V)) * 2, dtype=jnp.float32)
+    allowed = jnp.ones((1, V), dtype=bool).at[0, :4].set(False)
+    p = 0.8
+
+    # reference rule on the masked logits
+    masked = np.asarray(logits)[0].copy()
+    masked[:4] = -1e9
+    probs = np.exp(masked - masked.max())
+    probs /= probs.sum()
+    order = np.argsort(-probs)
+    csum = np.cumsum(probs[order])
+    last = int(np.where(csum > p)[0][0]) + 1
+    keep = order[:last]
+    want = np.zeros(V)
+    want[keep] = probs[keep] / probs[keep].sum()
+
+    n = 20000
+    keys = jax.random.split(jax.random.PRNGKey(1), n)
+    samples = jax.vmap(lambda k: masked_sample(k, logits, allowed, p=p)[0])(keys)
+    counts = np.bincount(np.asarray(samples), minlength=V) / n
+    # support sets identical
+    assert set(np.where(counts > 0)[0]) <= set(keep)
+    np.testing.assert_allclose(counts[keep], want[keep], atol=0.02)
