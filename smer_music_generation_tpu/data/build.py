@@ -287,6 +287,33 @@ def process_whole_song(
     return result[0]
 
 
+def canonicalize_events(events: Sequence[str]) -> Optional[List[str]]:
+    """Decode to MIDI and re-tokenize so the stream is a fixed point of the
+    codec (the reference's write-midi -> re-tokenize canonicalization,
+    ``preprocessing.py:1351-1369``)."""
+    score = events_to_midi(list(events), velocities=CORPUS_VELOCITIES)
+    if score is None:
+        return None
+    res = midi_to_events(score)
+    return list(res[0]) if res else None
+
+
+def tokenize_file(midi_path: str, canonicalize: bool = True) -> Optional[List[str]]:
+    """MIDI file -> canonicalized corpus event stream (the reference's
+    ``preprocessing.py`` stage)."""
+    try:
+        score = read_midi(midi_path)
+    except (ValueError, OSError, IndexError):
+        return None
+    res = midi_to_events(score)
+    if res is None:
+        return None
+    events = res[0]
+    if canonicalize:
+        events = canonicalize_events(events) or events
+    return events
+
+
 def build_file(
     midi_path: str,
     out_dir: str,
@@ -296,14 +323,9 @@ def build_file(
     seed: int = 0,
 ) -> Optional[str]:
     """One MIDI file -> tokenized song -> pickled window list on disk."""
-    try:
-        score = read_midi(midi_path)
-    except (ValueError, OSError, IndexError):
+    events = tokenize_file(midi_path)
+    if events is None:
         return None
-    res = midi_to_events(score)
-    if res is None:
-        return None
-    events, _ = res
     if mode == 1:
         events = smer_to_remi(events)
     windows = process_song(

@@ -128,3 +128,22 @@ def test_file_info():
     assert info["track_num"] == 2
     assert info["bar_num"] >= 12
     assert " major" in info["key"] or " minor" in info["key"]
+
+
+def test_canonicalize_fixed_point(long_song_events):
+    from smer_music_generation_tpu.data.build import canonicalize_events
+
+    canon = canonicalize_events(long_song_events)
+    assert canon is not None
+    # a canonical stream is a fixed point of the codec
+    assert canonicalize_events(canon) == canon
+
+
+def test_tokenize_file(tmp_path):
+    from smer_music_generation_tpu.data.build import tokenize_file
+
+    score = make_two_track_score(bars=10, seed=2)
+    path = str(tmp_path / "x.mid")
+    score.write(path)
+    events = tokenize_file(path)
+    assert events is not None and events[0] == "4/4"
