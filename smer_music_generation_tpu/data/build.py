@@ -19,12 +19,12 @@ from __future__ import annotations
 import os
 import pickle
 import random
-from typing import Dict, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 
-from ..codec.annotate import add_control_events, tempo_to_token
-from ..codec.midi import MidiScore, read_midi
+from ..codec.annotate import add_control_events
+from ..codec.midi import read_midi
 from ..codec.remi import remi_to_midi, smer_to_remi
 from ..codec.smer import (
     CORPUS_VELOCITIES,

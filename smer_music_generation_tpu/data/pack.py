@@ -8,13 +8,12 @@ packing into groups of <= ``max_token_length`` tokens, and the
 
 from __future__ import annotations
 
-import os
 import pickle
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
-from ..codec.structure import bar_positions, programs_of, track_names_of
+from ..codec.structure import programs_of, track_names_of
 from ..vocab import (
     TRACK_NOTE_DENSITY_TOKENS,
     TRACK_OCCUPATION_RATE_TOKENS,

@@ -22,9 +22,8 @@ drops them via ``this_tgt_inp[:-1]``), ready for ``restore_marked_input``.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ pure numpy/python string work.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -308,8 +308,6 @@ class InfillEngine:
         fix_durations: bool = True,
         correct_controls: bool = False,
     ) -> Optional[InfillResult]:
-        import jax
-
         events = list(events)
         numerator = int(events[0].split("/")[0])
         denominator = int(events[0].split("/")[1])

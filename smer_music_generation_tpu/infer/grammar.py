@@ -25,7 +25,7 @@ membership test against ``dict.values()`` of lists is always False,
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, NamedTuple
+from typing import NamedTuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -21,16 +21,15 @@ from __future__ import annotations
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
-import numpy as np
 
 from ..codec.annotate import encode_midi
 from ..codec.smer import events_to_midi
 from ..infer.engine import InfillEngine, change_controls
 from ..vocab import WordVocab
-from .protocol import merge_pm, midi2notes, note_midi
+from .protocol import midi2notes, note_midi
 
 
 class ServingContext:

@@ -9,7 +9,7 @@ loss}`` per epoch and resumes with an optional epoch reset
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import os
 from collections import defaultdict
-from typing import Dict, Iterable, Optional
+from typing import Dict, Iterable
 
 import jax
 import jax.numpy as jnp

@@ -14,8 +14,7 @@ optional rules) — XLA inserts the gradient all-reduce over ICI.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +22,7 @@ import optax
 from flax import struct
 
 from ..models.transformer import ModelConfig, ScoreTransformer
-from .loss import build_loss_tables, multihead_ce, per_class_accuracy
+from .loss import multihead_ce, per_class_accuracy
 
 
 class TrainState(struct.PyTreeNode):
