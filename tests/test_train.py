@@ -99,3 +99,14 @@ def test_remi_mode_pipeline(tmp_path):
     assert batches
     result = trainer.test(groups)
     assert np.isfinite(result["total"])
+
+
+def test_dryrun_multichip_entrypoint():
+    """The driver's multi-chip dry run must compile and execute on the
+    virtual CPU mesh."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)
+    dryrun_multichip(2)
