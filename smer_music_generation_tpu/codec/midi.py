@@ -49,6 +49,32 @@ def remove_drum_tracks(score: "MidiScore") -> "MidiScore":
     return score
 
 
+def piano_roll_to_score(
+    piano_roll: np.ndarray, fs: float = 100.0, program: int = 0, tempo: float = 120.0
+) -> "MidiScore":
+    """(128, T) velocity roll -> single-instrument score (reference
+    ``preprocessing.py:145-194``): note boundaries from velocity changes."""
+    notes_dim, _ = piano_roll.shape
+    score = MidiScore(initial_tempo=tempo)
+    inst = Instrument(program=program)
+    padded = np.pad(piano_roll, [(0, 0), (1, 1)], "constant")
+    change_times, change_notes = np.nonzero(np.diff(padded).T)
+    prev_velocity = np.zeros(notes_dim, dtype=int)
+    note_on = np.zeros(notes_dim)
+    for t_idx, pitch in zip(change_times, change_notes):
+        velocity = int(padded[pitch, t_idx + 1])
+        t = t_idx / fs
+        if velocity > 0:
+            if prev_velocity[pitch] == 0:
+                note_on[pitch] = t
+                prev_velocity[pitch] = velocity
+        else:
+            inst.notes.append(Note(int(prev_velocity[pitch]), int(pitch), note_on[pitch], t))
+            prev_velocity[pitch] = 0
+    score.instruments.append(inst)
+    return score
+
+
 @dataclass
 class Note:
     velocity: int

@@ -496,6 +496,26 @@ def midi_to_events(
 # ---------------------------------------------------------------------------
 
 
+def filter_empty_bars(events: Sequence[str]) -> List[str]:
+    """Strip leading bars that contain no notes (reference
+    ``preprocessing.py:721-744``; that version also drops the first filled
+    bar's ``bar`` token — here the filled bar is kept intact)."""
+    events = list(events)
+    arr = np.array(events)
+    bar_poses = np.where(arr == "bar")[0]
+    if len(bar_poses) == 0:
+        return events
+    first_filled = None
+    for bi, lo in enumerate(bar_poses):
+        hi = bar_poses[bi + 1] if bi + 1 < len(bar_poses) else len(events)
+        if any(e.startswith("p_") and e[2:].isdigit() for e in events[lo:hi]):
+            first_filled = bi
+            break
+    if first_filled is None or first_filled == 0:
+        return events
+    return events[: bar_poses[0]] + events[bar_poses[first_filled] :]
+
+
 def bar_events_to_midi(
     bar_tokens: Sequence[str],
     headers: Sequence[str],

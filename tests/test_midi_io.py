@@ -110,3 +110,18 @@ def test_repeated_pitch_notes(tmp_path):
     notes = sorted(r.instruments[0].notes, key=lambda n: n.start)
     assert len(notes) == 2
     assert abs(notes[0].end - 0.5) < 1e-3 and abs(notes[1].start - 0.5) < 1e-3
+
+
+def test_piano_roll_to_score():
+    import numpy as np
+    from smer_music_generation_tpu.codec.midi import piano_roll_to_score
+
+    roll = np.zeros((128, 20))
+    roll[60, 2:6] = 100
+    roll[64, 6:10] = 90
+    score = piano_roll_to_score(roll, fs=10)
+    notes = sorted(score.instruments[0].notes, key=lambda n: n.start)
+    assert len(notes) == 2
+    assert notes[0].pitch == 60 and abs(notes[0].start - 0.2) < 1e-9
+    assert abs(notes[0].end - 0.6) < 1e-9
+    assert notes[1].pitch == 64 and notes[1].velocity == 90

@@ -217,3 +217,16 @@ def test_pitch_range_filtered():
     s.instruments = [inst]
     events, _, _ = midi_to_events_window(s, ["track_0"])
     assert not any(e.startswith("p_") for e in events)
+
+
+def test_filter_empty_bars():
+    from smer_music_generation_tpu.codec.smer import filter_empty_bars
+
+    ev = ["4/4", "100", "i_0",
+          "bar", "track_0", "rest", "whole",
+          "bar", "track_0", "rest", "whole",
+          "bar", "track_0", "p_60", "whole"]
+    out = filter_empty_bars(ev)
+    assert out == ["4/4", "100", "i_0", "bar", "track_0", "p_60", "whole"]
+    # already-filled first bar: unchanged
+    assert filter_empty_bars(out) == out
