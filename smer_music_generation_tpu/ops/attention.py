@@ -55,52 +55,61 @@ def attention_reference(
 def _attn_kernel(
     len_ref,  # SMEM (B*H,) valid kv length per batch-head row
     q_ref,  # (1, blk_q, D)
-    k_ref,  # (1, S, D)
-    v_ref,  # (1, S, D)
+    k_ref,  # (1, blk_kv, D) — current KV block (pipelined by the grid)
+    v_ref,  # (1, blk_kv, D)
     o_ref,  # (1, blk_q, D)
+    m_scr,  # VMEM (blk_q, 1) running max
+    l_scr,  # VMEM (blk_q, 1) running denominator
+    acc_scr,  # VMEM (blk_q, D) running numerator
     *,
     blk_q: int,
     blk_kv: int,
-    seq_kv: int,
     causal: bool,
     scale: float,
 ):
+    """One (q-block, kv-block) step of online softmax.
+
+    KV blocks are the innermost grid dimension, so pallas double-buffers
+    their HBM->VMEM copies while this step computes; the softmax state
+    lives in scratch across the kv sweep.
+    """
     qi = pl.program_id(1)
+    si = pl.program_id(2)
+    n_kv = pl.num_programs(2)
+
+    @pl.when(si == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
     q = q_ref[0].astype(jnp.float32) * scale
-    D = q.shape[-1]
-
-    m = jnp.full((blk_q, 1), NEG_INF, dtype=jnp.float32)
-    l = jnp.zeros((blk_q, 1), dtype=jnp.float32)
-    acc = jnp.zeros((blk_q, D), dtype=jnp.float32)
-
+    k_blk = k_ref[0].astype(jnp.float32)
+    v_blk = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (blk_q, blk_kv)
     valid_len = len_ref[pl.program_id(0)]
-    n_kv = pl.cdiv(seq_kv, blk_kv)
+    col = si * blk_kv + jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_kv), 1)
+    mask = col < valid_len
+    if causal:
+        row = qi * blk_q + jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_kv), 0)
+        mask = mask & (col <= row)
+    s = jnp.where(mask, s, NEG_INF)
 
-    def body(si, carry):
-        m, l, acc = carry
-        k_blk = k_ref[0, pl.ds(si * blk_kv, blk_kv), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(si * blk_kv, blk_kv), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (blk_q, blk_kv)
-        col = si * blk_kv + jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_kv), 1)
-        mask = col < valid_len
-        if causal:
-            row = qi * blk_q + jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_kv), 0)
-            mask = mask & (col <= row)
-        s = jnp.where(mask, s, NEG_INF)
+    m = m_scr[:]
+    m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    correction = jnp.exp(m - m_new)
+    m_scr[:] = m_new
+    l_scr[:] = l_scr[:] * correction + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * correction + jax.lax.dot_general(
+        p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
 
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        correction = jnp.exp(m - m_new)
-        l_new = l * correction + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * correction + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        return m_new, l_new, acc_new
-
-    m, l, acc = jax.lax.fori_loop(0, n_kv, body, (m, l, acc))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    @pl.when(si == n_kv - 1)
+    def _():
+        o_ref[0] = (acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)).astype(o_ref.dtype)
 
 
 def fused_attention(
@@ -137,11 +146,10 @@ def fused_attention(
         _attn_kernel,
         blk_q=blk_q,
         blk_kv=blk_kv,
-        seq_kv=S_pad,
         causal=causal,
         scale=1.0 / math.sqrt(D),
     )
-    grid = (B * H, T_pad // blk_q)
+    grid = (B * H, T_pad // blk_q, S_pad // blk_kv)
     # broadcast per-batch lengths to per-(batch, head) so the SMEM index map
     # stays a plain identity (divisions in SMEM index maps fail to lower)
     kv_len_bh = jnp.repeat(kv_valid_len, H)
@@ -149,15 +157,20 @@ def fused_attention(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((B * H,), lambda bh, t: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, blk_q, D), lambda bh, t: (bh, t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S_pad, D), lambda bh, t: (bh, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S_pad, D), lambda bh, t: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B * H,), lambda bh, t, s: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, blk_q, D), lambda bh, t, s: (bh, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_kv, D), lambda bh, t, s: (bh, s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_kv, D), lambda bh, t, s: (bh, s, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, blk_q, D), lambda bh, t: (bh, t, 0), memory_space=pltpu.VMEM
+            (1, blk_q, D), lambda bh, t, s: (bh, t, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B * H, T_pad, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((blk_q, 1), jnp.float32),
+            pltpu.VMEM((blk_q, 1), jnp.float32),
+            pltpu.VMEM((blk_q, D), jnp.float32),
+        ],
         interpret=interpret,
     )(kv_len_bh, qh, kh, vh)
 
