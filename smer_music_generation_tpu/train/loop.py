@@ -127,16 +127,20 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def train_epoch(self, loader: Iterable, eos_weight: float, epoch: int) -> float:
+        from ..utils.profiling import StepTimer
+
         losses = []
         acc_correct = defaultdict(float)
         acc_count = defaultdict(float)
         names = self.tables["class_names"]
+        timer = StepTimer("train_step")
         for step, batch in enumerate(loader):
             self._rng, sub = jax.random.split(self._rng)
             try:
-                self.state, m = self._train_step(
-                    self.state, self._device_batch(batch), jnp.float32(eos_weight), sub
-                )
+                with timer:
+                    self.state, m = self._train_step(
+                        self.state, self._device_batch(batch), jnp.float32(eos_weight), sub
+                    )
             except Exception as e:  # failure containment: skip the batch
                 # (reference behaviour: blanket try/except + continue,
                 # train.py:917-926; here scoped to the device step)
@@ -165,6 +169,8 @@ class Trainer:
                     {f"ave_epoch_train_{n}_acc": acc_correct[n] / acc_count[n], "epoch": epoch},
                     step=int(self.state.step),
                 )
+        if timer.durations:
+            self.metrics.log({**timer.summary(), "epoch": epoch}, step=int(self.state.step))
         return float(np.mean(losses)) if losses else float("inf")
 
     def evaluate(self, loader: Iterable, eos_weight: float) -> Dict[str, float]:

@@ -108,3 +108,25 @@ def test_infill_mode_uses_given_tensiles():
     assert controls["tensile"] == given
     s_tokens = [e for e in events if e.startswith("s_")]
     assert s_tokens == [f"s_{t}" for t in given]
+
+
+def test_encode_midi_6_8():
+    """6/8 signature: bar = 12 sixteenth slots, whole duration absent."""
+    tempo = 90.0
+    s = MidiScore(initial_tempo=tempo)
+    s.time_signature_changes = [TimeSignature(6, 8, 0.0)]
+    inst = Instrument(program=0)
+    q = 60.0 / tempo
+    bar = 3 * q  # 6 eighths
+    for b in range(5):
+        inst.notes.append(Note(100, 60 + b, b * bar, b * bar + q))
+        inst.notes.append(Note(100, 67, b * bar + 1.5 * q, b * bar + 3 * q))
+    s.instruments = [inst]
+    res = encode_midi(s, controls={"key": None}, track_names=["track_0"])
+    assert res is not None
+    events, controls = res
+    assert events[0] == "6/8"
+    assert events.count("bar") == 16
+    assert "whole" not in events
+    vocab = WordVocab(0, CONTROL_SETS[5])
+    vocab.encode(events)

@@ -160,3 +160,26 @@ def test_batch_loader_iterates(vocab, control_events):
     assert len(batches) == 1
     b = batches[0]
     assert b["input"].ndim == 2 and b["target_in"].ndim == 2
+
+
+def test_random_word_span_length_distribution(vocab, control_events):
+    """Span lengths follow the 3/1/2 at .5/.25/.25 scheme statistically."""
+    cfg = MaskingConfig(bar_track_control=True, control_corrupt_prob=0.0)
+    lengths = []
+    for seed in range(30):
+        pipe = MaskingPipeline(vocab, cfg, seed=seed)
+        prepared = pipe.prepare_group([control_events])
+        tokens, din, dtgt = pipe.random_word(prepared)
+        cur = 0
+        for idx in dtgt[0]:
+            if idx == vocab.eos_index:
+                lengths.append(cur)
+                cur = 0
+            else:
+                cur += 1
+    from collections import Counter
+
+    counts = Counter(lengths)
+    assert set(counts) <= {1, 2, 3}
+    # length 3 dominates (p=.5 of draws)
+    assert counts[3] > counts[1] and counts[3] > counts[2]
