@@ -45,6 +45,10 @@ class ModelConfig:
     dropout: float = 0.1
     pos_dropout: float = 0.1
     dtype: Any = jnp.float32
+    # Route encoder self-attention through the pallas flash kernel
+    # (ops/attention.py) on deterministic passes.  Requires suffix padding
+    # (the framework's collate/bucketing guarantees it).
+    flash_encoder: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -119,6 +123,17 @@ class MultiHeadAttention(nn.Module):
         k, v = self.project_kv(kv_in)
         return self.attend(q_in, k, v, mask, deterministic)
 
+    def attend_flash(self, q_in: Array, kv_in: Array, kv_valid_len: Array) -> Array:
+        """Fused (flash) self-attention; no weights returned, no dropout."""
+        from ..ops.attention import fused_attention
+
+        c = self.cfg
+        B, T, _ = q_in.shape
+        q = self.q_proj(q_in).reshape(B, T, c.nhead, c.head_dim)
+        k, v = self.project_kv(kv_in)
+        out = fused_attention(q, k, v, kv_valid_len=kv_valid_len)
+        return self.out_proj(out.reshape(B, T, c.d_model))
+
 
 class FeedForward(nn.Module):
     cfg: ModelConfig
@@ -144,8 +159,11 @@ class EncoderLayer(nn.Module):
         self.drop1 = nn.Dropout(rate=c.dropout)
         self.drop2 = nn.Dropout(rate=c.dropout)
 
-    def __call__(self, x, mask, deterministic=True):
-        attn_out, _ = self.self_attn(x, x, mask, deterministic)
+    def __call__(self, x, mask, deterministic=True, kv_valid_len=None):
+        if kv_valid_len is not None and deterministic and self.cfg.flash_encoder:
+            attn_out = self.self_attn.attend_flash(x, x, kv_valid_len)
+        else:
+            attn_out, _ = self.self_attn(x, x, mask, deterministic)
         x = self.norm1(x + self.drop1(attn_out, deterministic=deterministic))
         x = self.norm2(x + self.drop2(self.ff(x, deterministic), deterministic=deterministic))
         return x
@@ -221,13 +239,18 @@ class ScoreTransformer(nn.Module):
         return self.pos_dropout(x, deterministic=deterministic)
 
     def encode(self, src: Array, src_pad_mask: Optional[Array] = None, deterministic: bool = True) -> Array:
-        """src: (B, S) int32; src_pad_mask: (B, S) True = PAD."""
+        """src: (B, S) int32; src_pad_mask: (B, S) True = PAD (suffix)."""
         x = self.embed(src, deterministic=deterministic)
         attn_mask = None
+        kv_valid_len = None
         if src_pad_mask is not None:
             attn_mask = (~src_pad_mask)[:, None, None, :]  # (B,1,1,S) True=attend
+            if self.cfg.flash_encoder:
+                kv_valid_len = jnp.sum(~src_pad_mask, axis=1).astype(jnp.int32)
+        elif self.cfg.flash_encoder:
+            kv_valid_len = jnp.full((src.shape[0],), src.shape[1], dtype=jnp.int32)
         for layer in self.encoder_layers:
-            x = layer(x, attn_mask, deterministic)
+            x = layer(x, attn_mask, deterministic, kv_valid_len=kv_valid_len)
         return x
 
     def decode(

@@ -120,9 +120,11 @@ def fused_attention(
     causal: bool = False,
     blk_q: int = 128,
     blk_kv: int = 128,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Flash attention over (B, T|S, H, D) tensors; pads T/S to blocks."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     B, T, H, D = q.shape
     S = k.shape[1]
     if kv_valid_len is None:

@@ -186,3 +186,28 @@ def test_per_class_accuracy(vocab):
     assert acc["eos"] == (1.0, 1.0)
     assert float(total_n) == 5.0  # pad excluded
     assert float(total_c) == 3.0
+
+
+def test_flash_encoder_matches_reference_path():
+    """flash_encoder=True must reproduce the einsum encoder (deterministic,
+    suffix padding)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, flash_encoder=False, max_len=256)
+    cfg_flash = dataclasses.replace(cfg, flash_encoder=True)
+    model = ScoreTransformer(cfg)
+    model_flash = ScoreTransformer(cfg_flash)
+    rng = np.random.default_rng(3)
+    src = jnp.asarray(rng.integers(1, V, (2, 40)), dtype=jnp.int32)
+    pad = jnp.zeros((2, 40), bool).at[0, 33:].set(True).at[1, 25:].set(True)
+    src = jnp.where(pad, 0, src)
+    params = model.init({"params": jax.random.PRNGKey(0)}, src, src[:, :8])
+    mem = model.apply(params, src, pad, method=ScoreTransformer.encode)
+    mem_flash = model_flash.apply(params, src, pad, method=ScoreTransformer.encode)
+    # padded rows may differ (flash normalizes over nothing); compare valid
+    np.testing.assert_allclose(
+        np.asarray(mem[0, :33]), np.asarray(mem_flash[0, :33]), atol=2e-3, rtol=1e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(mem[1, :25]), np.asarray(mem_flash[1, :25]), atol=2e-3, rtol=1e-2
+    )
