@@ -266,6 +266,18 @@ class InfillResult:
     decode_steps: int
 
 
+@dataclass
+class PreparedRequest:
+    """A masked infill request ready for (batched) device decode."""
+
+    src: np.ndarray  # (S,) int32 masked source ids
+    span_codes: List[int]
+    mask_tracks: List[int]
+    mask_bars: List[int]
+    table: DurationTable
+    no_whole_duration: bool
+
+
 class InfillEngine:
     """generation_all equivalent (reference ``generation.py:468-696``).
 
@@ -299,15 +311,13 @@ class InfillEngine:
             greedy=greedy,
         )
 
-    def __call__(
+    def prepare(
         self,
         events: Sequence[str],
         tracks_to_generate: Sequence[int],
         bars_to_generate: Sequence[int],
-        rng,
-        fix_durations: bool = True,
-        correct_controls: bool = False,
-    ) -> Optional[InfillResult]:
+    ) -> Optional["PreparedRequest"]:
+        """Mask the requested slots; returns the device-ready request."""
         events = list(events)
         numerator = int(events[0].split("/")[0])
         denominator = int(events[0].split("/")[1])
@@ -325,38 +335,84 @@ class InfillEngine:
         if result is None:
             return None
         src, span_codes, mask_track_names, mask_bar_names = result
-
-        max_spans = self.decoder.max_spans
-        span_types = np.zeros((1, max_spans), dtype=np.int32)
-        span_types[0, : len(span_codes)] = span_codes
-        n_spans = np.array([len(span_codes)], dtype=np.int32)
-
-        src_b = pad_to_bucket(src[None, :])
-        out = self.decoder(
-            self.params, src_b, span_types, n_spans, no_whole_duration, rng
-        )
-        tokens = np.asarray(out.tokens[0][: int(out.lengths[0])])
-        generated = [self.vocab.index2char(i) for i in tokens]
-
-        src_tokens = [self.vocab.index2char(int(i)) for i in src]
-        restored = restore_marked_input(src_tokens, generated)
-
-        if fix_durations and self.vocab.mode == 0:
-            # REMI (mode 1) has explicit onsets; bar-sum repair is a
-            # SMER-only concern
-            restored = self._repair_durations(restored, table)
-        if correct_controls:
-            restored = self._correct_controls(
-                restored, mask_bar_names, mask_track_names
-            )
-
-        return InfillResult(
-            events=restored,
-            generated=generated,
+        return PreparedRequest(
+            src=src,
+            span_codes=span_codes,
             mask_tracks=mask_track_names,
             mask_bars=mask_bar_names,
-            decode_steps=int(out.steps),
+            table=table,
+            no_whole_duration=no_whole_duration,
         )
+
+    def run_batch(
+        self,
+        requests: Sequence["PreparedRequest"],
+        rng,
+        fix_durations: bool = True,
+        correct_controls: bool = False,
+    ) -> List[Optional[InfillResult]]:
+        """Decode many infill requests as ONE batched device program.
+
+        Requests may differ in source length (padded to a common bucket),
+        span structure and time signature (per-element grammar flags).
+        """
+        B = len(requests)
+        if B == 0:
+            return []
+        max_spans = self.decoder.max_spans
+        max_src = max(len(r.src) for r in requests)
+        src_b = np.zeros((B, max_src), dtype=np.int32)
+        span_types = np.zeros((B, max_spans), dtype=np.int32)
+        n_spans = np.zeros((B,), dtype=np.int32)
+        no_whole = np.zeros((B,), dtype=bool)
+        for i, r in enumerate(requests):
+            src_b[i, : len(r.src)] = r.src
+            span_types[i, : len(r.span_codes)] = r.span_codes
+            n_spans[i] = len(r.span_codes)
+            no_whole[i] = r.no_whole_duration
+        src_b = pad_to_bucket(src_b)
+
+        out = self.decoder(self.params, src_b, span_types, n_spans, no_whole, rng)
+
+        results: List[Optional[InfillResult]] = []
+        tokens_all = np.asarray(out.tokens)
+        lengths = np.asarray(out.lengths)
+        for i, r in enumerate(requests):
+            generated = [self.vocab.index2char(t) for t in tokens_all[i][: int(lengths[i])]]
+            src_tokens = [self.vocab.index2char(int(t)) for t in r.src]
+            restored = restore_marked_input(src_tokens, generated)
+            if fix_durations and self.vocab.mode == 0:
+                # REMI (mode 1) has explicit onsets; bar-sum repair is a
+                # SMER-only concern
+                restored = self._repair_durations(restored, r.table)
+            if correct_controls:
+                restored = self._correct_controls(restored, r.mask_bars, r.mask_tracks)
+            results.append(
+                InfillResult(
+                    events=restored,
+                    generated=generated,
+                    mask_tracks=r.mask_tracks,
+                    mask_bars=r.mask_bars,
+                    decode_steps=int(out.steps),
+                )
+            )
+        return results
+
+    def __call__(
+        self,
+        events: Sequence[str],
+        tracks_to_generate: Sequence[int],
+        bars_to_generate: Sequence[int],
+        rng,
+        fix_durations: bool = True,
+        correct_controls: bool = False,
+    ) -> Optional[InfillResult]:
+        req = self.prepare(events, tracks_to_generate, bars_to_generate)
+        if req is None:
+            return None
+        return self.run_batch(
+            [req], rng, fix_durations=fix_durations, correct_controls=correct_controls
+        )[0]
 
     # ------------------------------------------------------------------
     def _correct_controls(

@@ -121,7 +121,7 @@ def allowed_mask(
     state: GrammarState,
     is_start: jnp.ndarray,  # (B,) bool: only m_0 emitted so far in span
     span_type: jnp.ndarray,  # (B,) int32 span code
-    no_whole_duration,  # scalar bool (time signature < 4/4)
+    no_whole_duration,  # scalar or (B,) bool (time signature < 4/4)
 ) -> jnp.ndarray:
     """(B, V) boolean mask, True = sampleable, per the dispatch priority."""
     B = state.in_sep.shape[0]
@@ -130,32 +130,32 @@ def allowed_mask(
     if t.mode == 1:
         return _allowed_mask_remi(t, state, is_start, span_type)
 
-    dur = t.duration_only & ~jnp.where(no_whole_duration, t.whole, False)
-
-    free = ~(t.always_banned | t.control | jnp.where(no_whole_duration, t.whole, False))
-    start_body = free & ~t.duration_only  # start may emit eos/pitch/rest/sep/continue
-    in_sep = ~(
-        t.always_banned | t.control | t.rest | t.sep | t.eos | t.whole
-    )
-    in_continue = t.pitch
-    in_pitch = t.pitch | dur
-    in_rest = dur
+    no_whole = jnp.broadcast_to(jnp.asarray(no_whole_duration), (B,))
+    whole_b = no_whole[:, None] & t.whole[None, :]  # (B, V)
 
     def bcast(mask):
         return jnp.broadcast_to(mask[None, :], (B, V))
 
+    dur = bcast(t.duration_only) & ~whole_b
+    free = ~(bcast(t.always_banned | t.control) | whole_b)
+    start_body = free & bcast(~t.duration_only)  # start: eos/pitch/rest/sep/continue
+    in_sep = bcast(~(t.always_banned | t.control | t.rest | t.sep | t.eos | t.whole))
+    in_continue = bcast(t.pitch)
+    in_pitch = bcast(t.pitch) | dur
+    in_rest = dur
+
     start_mask = jnp.where(
         (span_type != SPAN_BODY)[:, None],
         t.span_family[span_type],
-        bcast(start_body),
+        start_body,
     )
 
-    out = bcast(free)
+    out = free
     out = jnp.where(is_start[:, None], start_mask, out)
-    out = jnp.where(state.in_rest[:, None], bcast(in_rest), out)
-    out = jnp.where(state.in_pitch[:, None], bcast(in_pitch), out)
-    out = jnp.where(state.in_continue[:, None], bcast(in_continue), out)
-    out = jnp.where(state.in_sep[:, None], bcast(in_sep), out)
+    out = jnp.where(state.in_rest[:, None], in_rest, out)
+    out = jnp.where(state.in_pitch[:, None], in_pitch, out)
+    out = jnp.where(state.in_continue[:, None], in_continue, out)
+    out = jnp.where(state.in_sep[:, None], in_sep, out)
     return out
 
 

@@ -336,3 +336,18 @@ def test_nucleus_distribution_matches_reference_rule():
     # support sets identical
     assert set(np.where(counts > 0)[0]) <= set(keep)
     np.testing.assert_allclose(counts[keep], want[keep], atol=0.02)
+
+
+def test_run_batch_heterogeneous(vocab, mode2_events, tiny_engine):
+    """Batched decode with different span structures per element."""
+    events, _ = mode2_events
+    r1 = tiny_engine.prepare(events, [0], [1])
+    r2 = tiny_engine.prepare(events, [0, 1], [2, 3])
+    assert r1 is not None and r2 is not None
+    results = tiny_engine.run_batch([r1, r2], jax.random.PRNGKey(9))
+    assert len(results) == 2
+    for res in results:
+        assert res is not None
+        assert "m_0" not in res.events
+        vocab.encode(res.events)
+    assert len(results[1].mask_bars) > len(results[0].mask_bars)
