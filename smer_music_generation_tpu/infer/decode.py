@@ -31,8 +31,14 @@ import numpy as np
 
 from ..models.transformer import ScoreTransformer
 from ..vocab import WordVocab
-from .grammar import SPAN_BODY, GrammarState, GrammarTables, allowed_mask, update_flags
-from .sampling import greedy_sample, masked_sample
+from .grammar import (
+    SPAN_BODY,
+    GrammarTables,
+    allowed_mask_fast,
+    build_fast_tables,
+    update_bits,
+)
+from .sampling import greedy_sample, masked_sample_gumbel
 
 
 class DecodeResult(NamedTuple):
@@ -56,6 +62,7 @@ class InfillDecoder:
 
     def __post_init__(self):
         self.tables = GrammarTables.build(self.vocab)
+        self.fast_tables = build_fast_tables(self.tables)
         self._decode_jit = jax.jit(self._decode, static_argnames=("self",))
 
     # -- public API -----------------------------------------------------
@@ -88,8 +95,12 @@ class InfillDecoder:
         cross = model.apply(params, memory, method=ScoreTransformer.init_cross_cache)
         cache = model.apply(params, B, L, method=ScoreTransformer.init_self_cache)
 
+        state_masks, sid_from_bits, next_bits = self.fast_tables
+        # All sampling noise for the session, generated in ONE parallel op so
+        # the loop body carries no serial threefry chain (see sampling.py).
+        noise = jax.random.gumbel(rng, (L, B, t.vocab_size), dtype=jnp.float32)
         out = jnp.zeros((B, L), dtype=jnp.int32).at[:, 0].set(t.mask_index)
-        state = GrammarState.zeros(B)
+        state = jnp.zeros((B,), jnp.int32)  # packed grammar bits
         steps_in_span = jnp.ones((B,), jnp.int32)
         span_idx = jnp.zeros((B,), jnp.int32)
         done = n_spans <= 0
@@ -100,7 +111,7 @@ class InfillDecoder:
             return (pos + 1 < L) & jnp.any(~done)
 
         def body(carry):
-            pos, done, out, cache, state, steps_in_span, span_idx, lengths, rng = carry
+            pos, done, out, cache, state, steps_in_span, span_idx, lengths = carry
             token = out[:, pos]
             logits, cache = model.apply(
                 params, token, pos, cache, cross, src_pad,
@@ -109,14 +120,17 @@ class InfillDecoder:
 
             cur_type = span_types[jnp.arange(B), jnp.minimum(span_idx, self.max_spans - 1)]
             is_start = steps_in_span == 1
-            allowed = allowed_mask(t, state, is_start, cur_type, no_whole)
+            allowed = allowed_mask_fast(
+                state_masks, sid_from_bits, state, is_start, cur_type, no_whole,
+                start_overrides=(t.mode == 1),
+            )
 
-            rng, sub = jax.random.split(rng)
             if self.greedy:
                 sampled = greedy_sample(logits, allowed)
             else:
-                sampled = masked_sample(
-                    sub, logits, allowed, self.nucleus_p, self.temperature
+                g = jax.lax.dynamic_index_in_dim(noise, pos, axis=0, keepdims=False)
+                sampled = masked_sample_gumbel(
+                    g, logits, allowed, self.nucleus_p, self.temperature
                 )
 
             control_done = (cur_type != SPAN_BODY) & (steps_in_span >= 2)
@@ -131,19 +145,19 @@ class InfillDecoder:
             next_tok = jnp.where(end_span, t.mask_index, sampled)
             next_tok = jnp.where(now_done | done, 0, next_tok)
 
-            new_state = update_flags(t, state, sampled)
+            new_state = update_bits(next_bits, state, sampled)
             reset = end_span | done
-            new_state = GrammarState(*(jnp.where(reset, False, f) for f in new_state))
+            new_state = jnp.where(reset, 0, new_state)
             new_steps = jnp.where(end_span, 1, steps_in_span + 1)
 
             out = out.at[:, pos + 1].set(next_tok)
             lengths = jnp.where(next_tok != 0, pos + 2, lengths)
             return (pos + 1, now_done, out, cache, new_state, new_steps,
-                    new_span_idx, lengths, rng)
+                    new_span_idx, lengths)
 
         pos0 = jnp.int32(0)
-        carry = (pos0, done, out, cache, state, steps_in_span, span_idx, lengths, rng)
-        pos, done, out, cache, state, steps_in_span, span_idx, lengths, rng = (
+        carry = (pos0, done, out, cache, state, steps_in_span, span_idx, lengths)
+        pos, done, out, cache, state, steps_in_span, span_idx, lengths = (
             jax.lax.while_loop(cond, body, carry)
         )
         return DecodeResult(tokens=out, lengths=lengths, steps=pos)

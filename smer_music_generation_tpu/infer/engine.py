@@ -197,7 +197,11 @@ def check_track_total_time(
     if adjusted <= 0:
         adjusted = table.sixteenth
     parts = table.time_to_names(adjusted)
-    for _ in range(len(duration_list)):
+    # Replace the final duration group = the trailing run of duration
+    # tokens.  (Popping len(duration_list) is wrong when the stream was
+    # cap-truncated mid-group: duration_list is empty then, but `current`
+    # still includes the last CLOSED group, so it must be swapped out.)
+    while new_events and new_events[-1] in table.name_to_time:
         new_events.pop()
     new_events.extend(parts)
     return False, new_events

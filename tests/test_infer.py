@@ -351,3 +351,69 @@ def test_run_batch_heterogeneous(vocab, mode2_events, tiny_engine):
         assert "m_0" not in res.events
         vocab.encode(res.events)
     assert len(results[1].mask_bars) > len(results[0].mask_bars)
+
+
+def test_fast_tables_parity(vocab, tables):
+    """Table-driven fast grammar == reference allowed_mask/update_flags over
+    every packed state x start/span combination, SMER and REMI modes."""
+    from smer_music_generation_tpu.infer.grammar import (
+        allowed_mask_fast,
+        build_fast_tables,
+        update_bits,
+    )
+    from smer_music_generation_tpu.vocab import WordVocab
+
+    for mode in (0, 1):
+        voc = vocab if mode == 0 else WordVocab(1, CONTROL_SETS[5])
+        t = GrammarTables.build(voc)
+        state_masks, sid_from_bits, next_bits = build_fast_tables(t)
+        V = t.vocab_size
+
+        for bits in range(16):
+            st = GrammarState(
+                jnp.array([bool(bits & 8)]),
+                jnp.array([bool(bits & 4)]),
+                jnp.array([bool(bits & 2)]),
+                jnp.array([bool(bits & 1)]),
+            )
+            for is_start in (False, True):
+                for span_type in range(5):
+                    for nw in (False, True):
+                        ref = np.asarray(allowed_mask(
+                            t, st, jnp.array([is_start]),
+                            jnp.array([span_type], jnp.int32), jnp.array([nw]),
+                        ))[0]
+                        fast = np.asarray(allowed_mask_fast(
+                            state_masks, sid_from_bits, jnp.array([bits], jnp.int32),
+                            jnp.array([is_start]), jnp.array([span_type], jnp.int32),
+                            jnp.asarray(nw), start_overrides=(mode == 1),
+                        ))[0]
+                        assert (ref == fast).all(), (mode, bits, is_start, span_type, nw)
+
+            idx = jnp.arange(V, dtype=jnp.int32)
+            st_v = GrammarState(*(jnp.full((V,), bool(bits & b)) for b in (8, 4, 2, 1)))
+            ref_next = update_flags(t, st_v, idx)
+            ref_packed = (
+                np.asarray(ref_next.in_sep).astype(np.int32) * 8
+                + np.asarray(ref_next.in_continue) * 4
+                + np.asarray(ref_next.in_pitch) * 2
+                + np.asarray(ref_next.in_rest)
+            )
+            fast_packed = np.asarray(
+                update_bits(next_bits, jnp.full((V,), bits, jnp.int32), idx)
+            )
+            assert (ref_packed == fast_packed).all(), (mode, bits)
+
+
+def test_check_track_total_time_cap_truncated_tail():
+    """A span cut by the 100-token cap can end in pitches with its last
+    duration group closed: the repair must REPLACE that group, not append
+    another on top of it (regression: repair used to leave the bar at
+    bar_duration + last_group_time)."""
+    table = duration_table_for_signature((4, 4), 60.0)
+    body = ["p_60", "half", "p_62", "quarter", "p_64", "p_65", "p_66"]
+    ok, fixed = check_track_total_time(body, table)
+    assert not ok
+    ok2, fixed2 = check_track_total_time(fixed, table)
+    assert ok2, f"repair did not converge: {fixed}"
+    assert fixed2 == fixed
