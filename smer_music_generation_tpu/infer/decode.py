@@ -22,6 +22,8 @@ drops them via ``this_tgt_inp[:-1]``), ready for ``restore_marked_input``.
 
 from __future__ import annotations
 
+import math
+
 from dataclasses import dataclass
 from typing import NamedTuple, Optional
 
@@ -29,7 +31,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.transformer import ScoreTransformer
+from ..models.transformer import ScoreTransformer, sinusoidal_table
+from ..ops.decode_step import (
+    CHUNK,
+    fused_decode_step,
+    pack_decoder_weights,
+    stack_kv_cache,
+    vocab_pad,
+)
 from ..vocab import WordVocab
 from .grammar import (
     SPAN_BODY,
@@ -59,10 +68,26 @@ class InfillDecoder:
     nucleus_p: Optional[float] = 0.9
     temperature: float = 1.0
     greedy: bool = False
+    # Fused pallas decoder-step kernel (ops/decode_step.py).  None = auto
+    # (on for TPU backends when the model shape fits the kernel contract).
+    fused: Optional[bool] = None
+    interpret: bool = False  # run the fused kernel interpreted (CPU tests)
 
     def __post_init__(self):
         self.tables = GrammarTables.build(self.vocab)
         self.fast_tables = build_fast_tables(self.tables)
+        cfg = self.model.cfg
+        kernel_fits = (
+            cfg.d_model % 128 == 0
+            and cfg.d_model // cfg.nhead in (64, 128)
+            and self.max_tgt_len % CHUNK == 0
+        )
+        if self.fused is None:
+            self.fused = jax.default_backend() == "tpu" and kernel_fits
+        elif self.fused and not kernel_fits:
+            raise ValueError(
+                f"fused decode needs d_model%128==0 and max_tgt_len%{CHUNK}==0"
+            )
         self._decode_jit = jax.jit(self._decode, static_argnames=("self",))
 
     # -- public API -----------------------------------------------------
@@ -93,7 +118,24 @@ class InfillDecoder:
         src_pad = src == 0
         memory = model.apply(params, src, src_pad, method=ScoreTransformer.encode)
         cross = model.apply(params, memory, method=ScoreTransformer.init_cross_cache)
-        cache = model.apply(params, B, L, method=ScoreTransformer.init_self_cache)
+
+        cfg = model.cfg
+        S = src.shape[1]
+        # B gate: the kernel attends per batch element sequentially, which
+        # wins at serving batch sizes but loses to XLA's batched matmuls as
+        # B grows past a few elements.
+        use_fused = self.fused and S % CHUNK == 0 and S <= cfg.max_len and B <= 4
+        if use_fused:
+            nl, D = cfg.num_decoder_layers, cfg.d_model
+            vpad = vocab_pad(t.vocab_size)
+            packed = pack_decoder_weights(params, cfg, vpad)
+            cross_kv = stack_kv_cache(cross, nl)
+            cross_len = jnp.sum(~src_pad, axis=1).astype(jnp.int32)
+            emb_table = params["params"]["embedding"]["embedding"]
+            pos_table = sinusoidal_table(cfg.max_len, D)
+            cache = jnp.zeros((nl, B, L, 2 * D), cfg.dtype)
+        else:
+            cache = model.apply(params, B, L, method=ScoreTransformer.init_self_cache)
 
         state_masks, sid_from_bits, next_bits = self.fast_tables
         # All sampling noise for the session, generated in ONE parallel op so
@@ -113,10 +155,26 @@ class InfillDecoder:
         def body(carry):
             pos, done, out, cache, state, steps_in_span, span_idx, lengths = carry
             token = out[:, pos]
-            logits, cache = model.apply(
-                params, token, pos, cache, cross, src_pad,
-                method=ScoreTransformer.decode_step,
-            )
+            if use_fused:
+                x = (
+                    emb_table[token] * math.sqrt(cfg.d_model)
+                    + pos_table[pos]
+                ).astype(cfg.dtype)
+                logits, new_kv = fused_decode_step(
+                    packed, x, cache, cross_kv, pos, cross_len,
+                    n_layers=cfg.num_decoder_layers, d_model=cfg.d_model,
+                    nhead=cfg.nhead, d_ff=cfg.d_ff,
+                    vpad=vocab_pad(t.vocab_size), interpret=self.interpret,
+                )
+                logits = logits[:, : t.vocab_size]
+                cache = jax.lax.dynamic_update_slice(
+                    cache, new_kv[:, :, None, :], (0, 0, pos, 0)
+                )
+            else:
+                logits, cache = model.apply(
+                    params, token, pos, cache, cross, src_pad,
+                    method=ScoreTransformer.decode_step,
+                )
 
             cur_type = span_types[jnp.arange(B), jnp.minimum(span_idx, self.max_spans - 1)]
             is_start = steps_in_span == 1
@@ -163,10 +221,20 @@ class InfillDecoder:
         return DecodeResult(tokens=out, lengths=lengths, steps=pos)
 
 
-def pad_to_bucket(ids: np.ndarray, bucket: int = 256, cap: int = 2400) -> np.ndarray:
-    """Pad a (B, S) id matrix to a bucketed length to bound recompiles."""
+def pad_to_bucket(ids: np.ndarray, bucket: int = 512, cap: int = 2048) -> np.ndarray:
+    """Pad a (B, S) id matrix to a bucketed length to bound recompiles.
+
+    Default bucket matches the fused decode kernel's KV CHUNK so the fast
+    path stays eligible.  A source longer than ``cap`` (rare: serving
+    streams are 16-bar windows, typically 400-900 tokens) falls back to
+    256-bucketing under the model's positional limit — the decoder then
+    auto-selects the XLA step path instead of the fused kernel.
+    """
     S = ids.shape[1]
-    target = min(int(np.ceil(max(S, 1) / bucket)) * bucket, cap)
-    if target <= S:
-        return ids[:, :target]
+    if S > cap:
+        target = min(int(np.ceil(S / 256)) * 256, 2400)
+        if target <= S:
+            return ids[:, :target]
+        return np.pad(ids, ((0, 0), (0, target - S)))
+    target = int(np.ceil(max(S, 1) / bucket)) * bucket
     return np.pad(ids, ((0, 0), (0, target - S)))

@@ -47,3 +47,105 @@ def test_fused_non_multiple_shapes():
     want = attention_reference(q, k, v)
     got = fused_attention(q, k, v, blk_q=32, blk_kv=32, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Fused single-token decoder-step kernel (ops/decode_step.py)
+# ---------------------------------------------------------------------------
+
+def _decode_fixture(B=2, V=309, S=512, L=512, nl=2):
+    from smer_music_generation_tpu.models.transformer import (
+        ModelConfig,
+        ScoreTransformer,
+    )
+
+    cfg = ModelConfig(
+        vocab_size=V, d_model=512, nhead=8, num_encoder_layers=1,
+        num_decoder_layers=nl, d_ff=2048, max_len=2048, dropout=0.0,
+        pos_dropout=0.0,
+    )
+    model = ScoreTransformer(cfg)
+    rng = jax.random.PRNGKey(0)
+    src = jax.random.randint(rng, (B, S), 1, V)
+    params = model.init({"params": rng}, src, jnp.ones((B, 8), jnp.int32))
+    return cfg, model, params, src
+
+
+def test_fused_decode_step_matches_model():
+    """Kernel (interpret) == ScoreTransformer.decode_step over a multi-step
+    roll-out with per-element cross lengths (one element padded)."""
+    from smer_music_generation_tpu.models.transformer import ScoreTransformer
+    from smer_music_generation_tpu.ops.decode_step import (
+        fused_decode_step,
+        pack_decoder_weights,
+        stack_kv_cache,
+        vocab_pad,
+    )
+
+    B, V, S, L, nl = 2, 309, 512, 512, 2
+    cfg, model, params, src = _decode_fixture(B, V, S, L, nl)
+    D = cfg.d_model
+
+    src_pad = np.zeros((B, S), bool)
+    src_pad[0, 400:] = True
+    src_pad = jnp.asarray(src_pad)
+    memory = model.apply(params, src, src_pad, method=ScoreTransformer.encode)
+    cross = model.apply(params, memory, method=ScoreTransformer.init_cross_cache)
+    cache = model.apply(params, B, L, method=ScoreTransformer.init_self_cache)
+
+    cross_kv = stack_kv_cache(cross, nl)
+    cross_len = jnp.asarray([400, S], jnp.int32)
+    self_kv = jnp.zeros((nl, B, L, 2 * D), cfg.dtype)
+    packed = pack_decoder_weights(params, cfg, vocab_pad(V))
+    pe = model.apply(params, method=lambda m: m.pos_table)
+    emb = params["params"]["embedding"]["embedding"]
+
+    toks = jax.random.randint(jax.random.PRNGKey(1), (4, B), 1, V)
+    for pos in range(4):
+        lg_ref, cache = model.apply(
+            params, toks[pos], pos, cache, cross, src_pad,
+            method=ScoreTransformer.decode_step,
+        )
+        x = (emb[toks[pos]] * np.sqrt(D) + pe[pos]).astype(cfg.dtype)
+        lg, new_kv = fused_decode_step(
+            packed, x, self_kv, cross_kv, jnp.int32(pos), cross_len,
+            n_layers=nl, d_model=D, nhead=cfg.nhead, d_ff=cfg.d_ff,
+            vpad=vocab_pad(V), interpret=True,
+        )
+        self_kv = jax.lax.dynamic_update_slice(
+            self_kv, new_kv[:, :, None, :], (0, 0, pos, 0))
+        a = np.asarray(lg_ref)
+        b = np.asarray(lg)[:, :V]
+        np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-2)
+        assert (a.argmax(-1) == b.argmax(-1)).all(), pos
+
+
+def test_fused_decode_loop_matches_xla_loop():
+    """InfillDecoder(fused) == InfillDecoder(XLA) token-for-token on CPU."""
+    from smer_music_generation_tpu.infer.decode import InfillDecoder, pad_to_bucket
+    from smer_music_generation_tpu.vocab import CONTROL_SETS, WordVocab
+
+    vocab = WordVocab(0, CONTROL_SETS[5])
+    cfg, model, params, _ = _decode_fixture(V=vocab.vocab_size, nl=2)
+
+    # tiny serving-shaped source: header + m_0 spans
+    src_tokens = ["4/4", "t_3", "k_0", "d_2", "o_2", "y_2", "i_0",
+                  "bar", "s_2", "track_0", "d_2", "o_2", "y_2", "m_0",
+                  "m_0", "m_0", "m_0"]
+    src = np.array([[vocab.char2index(t) for t in src_tokens]], np.int32)
+    src = pad_to_bucket(src, bucket=512)
+    span_types = np.zeros((1, 160), np.int32)
+    span_types[0, :4] = [0, 1, 2, 3]
+    n_spans = np.asarray([4], np.int32)
+    rng = jax.random.PRNGKey(3)
+
+    kw = dict(max_tgt_len=512, nucleus_p=0.9)
+    slow = InfillDecoder(model, vocab, fused=False, **kw)
+    fast = InfillDecoder(model, vocab, fused=True, interpret=True, **kw)
+    r_slow = slow(params, src, span_types, n_spans, False, rng)
+    r_fast = fast(params, src, span_types, n_spans, False, rng)
+
+    assert int(r_slow.lengths[0]) == int(r_fast.lengths[0])
+    n = int(r_slow.lengths[0])
+    assert np.array_equal(np.asarray(r_slow.tokens)[0, :n],
+                          np.asarray(r_fast.tokens)[0, :n])
