@@ -34,8 +34,13 @@ import numpy as np
 from ..models.transformer import ScoreTransformer, sinusoidal_table
 from ..ops.decode_step import (
     CHUNK,
+    ST_DONE,
+    ST_LEN,
+    ST_TOKEN,
     fused_decode_step,
+    fused_decode_token,
     pack_decoder_weights,
+    pack_sampling_tables,
     stack_kv_cache,
     vocab_pad,
 )
@@ -71,11 +76,19 @@ class InfillDecoder:
     # Fused pallas decoder-step kernel (ops/decode_step.py).  None = auto
     # (on for TPU backends when the model shape fits the kernel contract).
     fused: Optional[bool] = None
+    # v3: also fuse embedding + grammar-masked sampling + span bookkeeping
+    # into the kernel (the XLA loop body shrinks to ~4 ops).  None = follow
+    # ``fused``.
+    fused_sampling: Optional[bool] = None
     interpret: bool = False  # run the fused kernel interpreted (CPU tests)
 
     def __post_init__(self):
         self.tables = GrammarTables.build(self.vocab)
         self.fast_tables = build_fast_tables(self.tables)
+        self.sampling_tables = pack_sampling_tables(
+            self.vocab, self.tables, self.fast_tables,
+            vocab_pad(self.tables.vocab_size),
+        )
         cfg = self.model.cfg
         kernel_fits = (
             cfg.d_model % 128 == 0
@@ -88,6 +101,8 @@ class InfillDecoder:
             raise ValueError(
                 f"fused decode needs d_model%128==0 and max_tgt_len%{CHUNK}==0"
             )
+        if self.fused_sampling is None:
+            self.fused_sampling = self.fused
         self._decode_jit = jax.jit(self._decode, static_argnames=("self",))
 
     # -- public API -----------------------------------------------------
@@ -131,6 +146,11 @@ class InfillDecoder:
             packed = pack_decoder_weights(params, cfg, vpad)
             cross_kv = stack_kv_cache(cross, nl)
             cross_len = jnp.sum(~src_pad, axis=1).astype(jnp.int32)
+            if self.fused_sampling:
+                return InfillDecoder._decode_v3(
+                    self, t, cfg, packed, cross_kv, cross_len,
+                    span_types, n_spans, no_whole, rng, B, L,
+                )
             emb_table = params["params"]["embedding"]["embedding"]
             pos_table = sinusoidal_table(cfg.max_len, D)
             cache = jnp.zeros((nl, B, L, 2 * D), cfg.dtype)
@@ -219,6 +239,64 @@ class InfillDecoder:
             jax.lax.while_loop(cond, body, carry)
         )
         return DecodeResult(tokens=out, lengths=lengths, steps=pos)
+
+    @staticmethod
+    def _decode_v3(
+        self, t, cfg, packed, cross_kv, cross_len, span_types, n_spans,
+        no_whole, rng, B, L,
+    ) -> DecodeResult:
+        """Fully-fused loop: one pallas call + 3 XLA ops per token."""
+        vpad = vocab_pad(t.vocab_size)
+        if self.greedy:
+            noise = jnp.zeros((1, B, vpad), jnp.float32)
+        else:
+            noise = jax.random.gumbel(rng, (L, B, vpad), dtype=jnp.float32)
+        out = jnp.zeros((B, L), jnp.int32).at[:, 0].set(t.mask_index)
+        state0 = jnp.stack(
+            [
+                jnp.full((B,), t.mask_index, jnp.int32),  # ST_TOKEN
+                jnp.zeros((B,), jnp.int32),  # ST_BITS
+                jnp.ones((B,), jnp.int32),  # ST_STEPS
+                jnp.zeros((B,), jnp.int32),  # ST_SPAN
+                (n_spans <= 0).astype(jnp.int32),  # ST_DONE
+                jnp.ones((B,), jnp.int32),  # ST_LEN
+            ]
+        )
+        aux = jnp.stack(
+            [
+                n_spans.astype(jnp.int32),
+                jnp.broadcast_to(jnp.asarray(no_whole), (B,)).astype(jnp.int32),
+            ]
+        )
+        cache = jnp.zeros(
+            (cfg.num_decoder_layers, B, L, 2 * cfg.d_model), cfg.dtype
+        )
+
+        def cond(carry):
+            pos, state, out, cache = carry
+            return (pos + 1 < L) & jnp.any(state[ST_DONE] == 0)
+
+        def body(carry):
+            pos, state, out, cache = carry
+            new_state, new_kv = fused_decode_token(
+                packed, self.sampling_tables, state, aux, span_types, noise,
+                cache, cross_kv, pos, cross_len,
+                n_layers=cfg.num_decoder_layers, d_model=cfg.d_model,
+                nhead=cfg.nhead, d_ff=cfg.d_ff, vpad=vpad, mode=t.mode,
+                max_spans=self.max_spans, span_cap=self.span_cap,
+                eos_index=t.eos_index, mask_index=t.mask_index,
+                nucleus_p=self.nucleus_p, temperature=self.temperature,
+                greedy=self.greedy, interpret=self.interpret,
+            )
+            out = out.at[:, pos + 1].set(new_state[ST_TOKEN])
+            cache = jax.lax.dynamic_update_slice(
+                cache, new_kv[:, :, None, :], (0, 0, pos, 0)
+            )
+            return pos + 1, new_state, out, cache
+
+        carry = (jnp.int32(0), state0, out, cache)
+        pos, state, out, cache = jax.lax.while_loop(cond, body, carry)
+        return DecodeResult(tokens=out, lengths=state[ST_LEN], steps=pos)
 
 
 def pad_to_bucket(ids: np.ndarray, bucket: int = 512, cap: int = 2048) -> np.ndarray:

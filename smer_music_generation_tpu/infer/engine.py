@@ -12,6 +12,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import jax
 import numpy as np
 
 from ..codec.durations import DurationTable, duration_table_for_signature
@@ -379,8 +380,11 @@ class InfillEngine:
         out = self.decoder(self.params, src_b, span_types, n_spans, no_whole, rng)
 
         results: List[Optional[InfillResult]] = []
-        tokens_all = np.asarray(out.tokens)
-        lengths = np.asarray(out.lengths)
+        # single host transfer: over a remote/tunnelled backend every
+        # device->host fetch pays a full round trip
+        tokens_all, lengths, steps = jax.device_get(
+            (out.tokens, out.lengths, out.steps)
+        )
         for i, r in enumerate(requests):
             generated = [self.vocab.index2char(t) for t in tokens_all[i][: int(lengths[i])]]
             src_tokens = [self.vocab.index2char(int(t)) for t in r.src]
@@ -397,7 +401,7 @@ class InfillEngine:
                     generated=generated,
                     mask_tracks=r.mask_tracks,
                     mask_bars=r.mask_bars,
-                    decode_steps=int(out.steps),
+                    decode_steps=int(steps),
                 )
             )
         return results

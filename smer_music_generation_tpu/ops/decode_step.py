@@ -107,6 +107,8 @@ def pack_decoder_weights(params: Any, cfg, vpad: int) -> Dict[str, jax.Array]:
     packed["fc_w"] = jnp.pad(fc_w, ((0, 0), (0, vpad - V)))
     # padded vocab slots get -1e9 so they can never win downstream argmaxes
     packed["fc_b"] = jnp.pad(fc_b, (0, vpad - V), constant_values=-1e9)
+    emb = p["embedding"]["embedding"].astype(dt)
+    packed["emb"] = jnp.pad(emb, ((0, vpad - V), (0, 0)))
     return packed
 
 
@@ -366,8 +368,8 @@ def fused_decode_step(
             layer_block((D, 6 * D)),  # w_attn
             layer_block((1, 7 * D + F)),  # bias strip
             layer_block((6, D)),  # ln
-            layer_block((D, F), buffers=1),  # w_ff1 (single-buffered: VMEM)
-            layer_block((F, D), buffers=1),  # w_ff2
+            layer_block((D, F)),  # w_ff1
+            layer_block((F, D), buffers=1),  # w_ff2 (single-buffered: VMEM limit)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # fc_w
             pl.BlockSpec(memory_space=pltpu.VMEM),  # fc_b
             pl.BlockSpec(memory_space=pl.ANY),  # self_kv
@@ -408,3 +410,390 @@ def fused_decode_step(
 
 def vocab_pad(vocab_size: int) -> int:
     return _round_up(vocab_size, 128)
+
+
+# ---------------------------------------------------------------------------
+# v3: whole-token kernel — embed/PE at grid step 0, grammar-masked sampling
+# and span bookkeeping at the last grid step.  The XLA loop body shrinks to
+# {kernel, out-array set, cache update, pos+1}: the ~28-op sampling tail
+# (~80 us/token of fixed dispatch overhead) runs as in-kernel instructions.
+# ---------------------------------------------------------------------------
+
+# state rows carried through the loop as one (6, B) int32 SMEM array
+ST_TOKEN, ST_BITS, ST_STEPS, ST_SPAN, ST_DONE, ST_LEN = range(6)
+# aux rows (constants per session): (2, B) int32
+AUX_NSPANS, AUX_NOWHOLE = range(2)
+# class_mat columns
+_CL_PITCH, _CL_DUR, _CL_SEP, _CL_REST, _CL_STEP, _CL_EOS, _CL_CONT = range(7)
+_N_CLASSES = 8  # padded to 8 lanes
+
+
+def pack_sampling_tables(vocab, tables, fast_tables, vpad: int):
+    """Device tables for in-kernel grammar + sampling.
+
+    state_masks (2*N_SID, vpad) f32 (1 = allowed), class_mat (vpad, 8) f32,
+    sid_tbl (16,) int32 — all derived from the parity-tested fast tables.
+    """
+    import numpy as np
+
+    state_masks, sid_from_bits, _ = fast_tables
+    sm = np.asarray(state_masks, dtype=np.float32)  # (2, N_SID, V)
+    two, n_sid, V = sm.shape
+    out = np.zeros((two * n_sid, vpad), np.float32)
+    out[:, :V] = sm.reshape(two * n_sid, V)
+    cm = np.zeros((vpad, _N_CLASSES), np.float32)
+    t = tables
+    cm[:V, _CL_PITCH] = np.asarray(t.pitch, np.float32)
+    cm[:V, _CL_DUR] = np.asarray(t.duration_only, np.float32)
+    cm[:V, _CL_SEP] = np.asarray(t.sep, np.float32)
+    cm[:V, _CL_REST] = np.asarray(t.rest, np.float32)
+    cm[:V, _CL_STEP] = np.asarray(t.step, np.float32)
+    cm[:V, _CL_EOS] = np.asarray(t.eos, np.float32)
+    if t.continue_index >= 0:
+        cm[t.continue_index, _CL_CONT] = 1.0
+    return {
+        "state_masks_f": jnp.asarray(out),
+        "class_mat": jnp.asarray(cm),
+        "sid_tbl": jnp.asarray(np.asarray(sid_from_bits, np.int32)),
+    }
+
+
+def _pe_row(pos, D: int):
+    """Sinusoidal positional-encoding row for one position, (1, D) f32.
+
+    Lane l: even -> sin(pos * exp(-ln(1e4) * l / D)), odd -> cos with the
+    (l-1) frequency — matches ``models.transformer.sinusoidal_table``.
+    """
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, D), 1)
+    even_lane = lane - (lane % 2)
+    freq = jnp.exp(even_lane.astype(jnp.float32) * (-math.log(10000.0) / D))
+    angle = pos.astype(jnp.float32) * freq
+    return jnp.where(lane % 2 == 0, jnp.sin(angle), jnp.cos(angle))
+
+
+def _sample_and_advance_b(
+    b, logits_b, g_b, scalars, state, aux, span_types, sid_tbl, masks_f,
+    class_mat, state_out, *, mode: int, max_spans: int, span_cap: int,
+    eos_index: int, mask_index: int, nucleus_p, temperature: float,
+    greedy: bool, vpad: int,
+):
+    """Grammar-masked sampling + state transition for one batch element.
+
+    Mirrors the XLA loop body in infer/decode.py (which is itself
+    parity-tested against infer/grammar.py reference semantics).
+    """
+    pos = scalars[0]
+    bits = state[ST_BITS, b]
+    steps = state[ST_STEPS, b]
+    span_idx = state[ST_SPAN, b]
+    done = state[ST_DONE, b]
+    length = state[ST_LEN, b]
+    n_spans = aux[AUX_NSPANS, b]
+    nw = aux[AUX_NOWHOLE, b]
+
+    cur_type = span_types[b, jnp.minimum(span_idx, max_spans - 1)]
+    is_start = steps == 1
+    flag_sid = sid_tbl[bits]
+    start_sid = 5 + cur_type
+    if mode == 1:
+        sid = jnp.where(is_start, start_sid, flag_sid)
+    else:
+        sid = jnp.where(bits > 0, flag_sid, jnp.where(is_start, start_sid, 0))
+    row = nw * N_SID + sid
+    allowed = masks_f[pl.ds(row, 1), :]  # (1, vpad) f32 0/1 (ref read)
+
+    NEG = -1e9
+    masked = jnp.where(allowed > 0, logits_b, NEG) / temperature
+    logp = jax.nn.log_softmax(masked, axis=-1)
+    if greedy:
+        final = logp
+    else:  # noqa: PLR5501
+        if nucleus_p is not None:
+            probs = jnp.exp(logp)  # (1, vpad)
+            # column copy of probs WITHOUT tpu.transpose (not legalizable):
+            # identity NT-matmul — exact (each output sums exactly one term)
+            eye = (
+                jax.lax.broadcasted_iota(jnp.int32, (vpad, vpad), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (vpad, vpad), 1)
+            ).astype(jnp.float32)
+            probs_col = jax.lax.dot_general(
+                eye, probs, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (vpad, 1)
+            p_v = jnp.broadcast_to(probs_col, (vpad, vpad))  # [v, w] -> p_v
+            p_w = jnp.broadcast_to(probs, (vpad, vpad))  # [v, w] -> p_w
+            above = jnp.sum(
+                p_v * (p_v > p_w).astype(jnp.float32), axis=0, keepdims=True
+            )  # (1, vpad): mass strictly above p_w
+            logp = jnp.where(above < nucleus_p, logp, NEG)
+        final = logp + g_b
+    sampled = jnp.argmax(final, axis=-1)[0].astype(jnp.int32)
+
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, vpad), 1) == sampled
+    ).astype(jnp.float32)
+    fl = jnp.dot(onehot, class_mat[:], preferred_element_type=jnp.float32)  # (1, 8)
+    is_pitch = fl[0, _CL_PITCH] > 0
+    is_dur = fl[0, _CL_DUR] > 0
+    is_sep = fl[0, _CL_SEP] > 0
+    is_rest = fl[0, _CL_REST] > 0
+    is_step = fl[0, _CL_STEP] > 0
+    is_cont = fl[0, _CL_CONT] > 0
+
+    b_sep = bits & 8 > 0
+    b_cont = bits & 4 > 0
+    b_pitch = bits & 2 > 0
+    b_rest = bits & 1 > 0
+    if mode == 1:
+        n_sep = jnp.asarray(False)
+        n_rest = jnp.asarray(False)
+        n_cont = jnp.where(is_step, True, jnp.where(is_pitch | is_dur, False, b_cont))
+        n_pitch = jnp.where(is_pitch, True, jnp.where(is_step | is_dur, False, b_pitch))
+    else:
+        n_sep = jnp.where(is_sep, True, jnp.where(is_cont | is_pitch, False, b_sep))
+        n_cont = jnp.where(is_cont, True, jnp.where(is_pitch, False, b_cont))
+        n_pitch = jnp.where(is_pitch, True, jnp.where(is_dur, False, b_pitch))
+        n_rest = jnp.where(is_rest, True, jnp.where(is_dur, False, b_rest))
+    new_bits = (
+        n_sep.astype(jnp.int32) * 8 + n_cont.astype(jnp.int32) * 4
+        + n_pitch.astype(jnp.int32) * 2 + n_rest.astype(jnp.int32)
+    )
+
+    control_done = (cur_type != SPAN_BODY_CODE) & (steps >= 2)
+    end_span = (sampled == eos_index) | (steps + 1 >= span_cap) | control_done
+    new_span_idx = jnp.where(end_span, span_idx + 1, span_idx)
+    now_done = (done > 0) | (new_span_idx >= n_spans)
+    next_tok = jnp.where(end_span, mask_index, sampled)
+    next_tok = jnp.where(now_done | (done > 0), 0, next_tok)
+    new_bits = jnp.where(end_span | (done > 0), 0, new_bits)
+    new_steps = jnp.where(end_span, 1, steps + 1)
+    new_len = jnp.where(next_tok != 0, pos + 2, length)
+
+    state_out[ST_TOKEN, b] = next_tok
+    state_out[ST_BITS, b] = new_bits
+    state_out[ST_STEPS, b] = new_steps
+    state_out[ST_SPAN, b] = new_span_idx
+    state_out[ST_DONE, b] = now_done.astype(jnp.int32)
+    state_out[ST_LEN, b] = new_len
+
+
+SPAN_BODY_CODE = 0  # SPAN_BODY from infer.grammar (kept local: no circular import)
+N_SID = 10  # matches infer.grammar.N_SID
+
+
+def _kernel_v3(
+    scalars, state, aux, span_types, sid_tbl,  # scalar-prefetch (SMEM)
+    emb, w_attn, bias, ln, w_ff1, w_ff2, fc_w, fc_b, masks_f, class_mat,
+    noise, self_kv, cross_kv,  # noise + caches in HBM
+    state_out, newkv_ref,  # outputs
+    x_s, kvbuf, sems, gbuf, gsem,  # scratch
+    *, B: int, D: int, H: int, L: int, S: int, F: int, n_layers: int,
+    vpad: int, mode: int, max_spans: int, span_cap: int, eos_index: int,
+    mask_index: int, nucleus_p, temperature: float, greedy: bool,
+):
+    i = pl.program_id(0)
+    HD = D // H
+    index = scalars[0]
+
+    @pl.when(i == 0)
+    def _():
+        if not greedy:
+            pltpu.make_async_copy(noise.at[index], gbuf, gsem).start()
+        # embedding gather as a one-hot MXU matmul (dynamic sublane
+        # indexing requires 8-aligned starts, which token ids are not)
+        rows = []
+        for b in range(B):
+            tok = state[ST_TOKEN, b]
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, vpad), 1) == tok
+            ).astype(emb.dtype)
+            rows.append(
+                jnp.dot(onehot, emb[:], preferred_element_type=jnp.float32)
+            )
+        x = jnp.concatenate(rows, axis=0) * math.sqrt(D)  # (B, D)
+        x_s[:] = x + _pe_row(index, D)
+
+    x = x_s[:]  # (B, D) f32
+    dt = w_attn.dtype
+    b_all = bias[0, 0]  # (7D + F,) f32
+
+    qkv = (
+        jnp.dot(x.astype(dt), w_attn[0][:, : 3 * D], preferred_element_type=jnp.float32)
+        + b_all[: 3 * D]
+    )
+    q = qkv[:, :D]
+    k_new = qkv[:, D : 2 * D]
+    v_new = qkv[:, 2 * D :]
+    newkv_ref[0] = qkv[:, D:].astype(newkv_ref.dtype)
+
+    att_rows = []
+    for b in range(B):
+        att_rows.append(
+            _flash_attend(
+                q[b],
+                lambda c, b=b: self_kv.at[i, b, pl.ds(c * CHUNK, CHUNK), :],
+                index, L // CHUNK, kvbuf, sems, H, HD,
+                extra_kv=(k_new[b], v_new[b]),
+            )
+        )
+    att = jnp.concatenate(att_rows, axis=0)
+    o = (
+        jnp.dot(att.astype(dt), w_attn[0][:, 3 * D : 4 * D], preferred_element_type=jnp.float32)
+        + b_all[3 * D : 4 * D]
+    )
+    x = _layernorm(x + o, ln[0, 0], ln[0, 1])
+
+    qc = (
+        jnp.dot(x.astype(dt), w_attn[0][:, 4 * D : 5 * D], preferred_element_type=jnp.float32)
+        + b_all[4 * D : 5 * D]
+    )
+    att_rows = []
+    for b in range(B):
+        att_rows.append(
+            _flash_attend(
+                qc[b],
+                lambda c, b=b: cross_kv.at[i, b, pl.ds(c * CHUNK, CHUNK), :],
+                scalars[1 + b], S // CHUNK, kvbuf, sems, H, HD,
+            )
+        )
+    att = jnp.concatenate(att_rows, axis=0)
+    o = (
+        jnp.dot(att.astype(dt), w_attn[0][:, 5 * D : 6 * D], preferred_element_type=jnp.float32)
+        + b_all[5 * D : 6 * D]
+    )
+    x = _layernorm(x + o, ln[0, 2], ln[0, 3])
+
+    h = (
+        jnp.dot(x.astype(dt), w_ff1[0], preferred_element_type=jnp.float32)
+        + b_all[6 * D : 6 * D + F]
+    )
+    h = jnp.maximum(h, 0.0)
+    y = (
+        jnp.dot(h.astype(dt), w_ff2[0], preferred_element_type=jnp.float32)
+        + b_all[6 * D + F : 6 * D + F + D]
+    )
+    x = _layernorm(x + y, ln[0, 4], ln[0, 5])
+    x_s[:] = x
+
+    @pl.when(i == n_layers - 1)
+    def _():
+        logits = jnp.dot(x, fc_w[:], preferred_element_type=jnp.float32) + fc_b[:]
+        if not greedy:
+            pltpu.make_async_copy(noise.at[index], gbuf, gsem).wait()
+        for b in range(B):
+            g_b = None if greedy else gbuf[b : b + 1, :]
+            _sample_and_advance_b(
+                b, logits[b : b + 1, :], g_b, scalars, state, aux,
+                span_types, sid_tbl, masks_f, class_mat, state_out,
+                mode=mode, max_spans=max_spans, span_cap=span_cap,
+                eos_index=eos_index, mask_index=mask_index,
+                nucleus_p=nucleus_p, temperature=temperature, greedy=greedy,
+                vpad=vpad,
+            )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_layers", "d_model", "nhead", "d_ff", "vpad", "mode", "max_spans",
+        "span_cap", "eos_index", "mask_index", "nucleus_p", "temperature",
+        "greedy", "interpret",
+    ),
+)
+def fused_decode_token(
+    packed: Dict[str, jax.Array],
+    tables: Dict[str, jax.Array],
+    state: jax.Array,  # (6, B) int32 — ST_* rows
+    aux: jax.Array,  # (2, B) int32 — AUX_* rows
+    span_types: jax.Array,  # (B, max_spans) int32
+    noise: jax.Array,  # (L, B, vpad) f32 Gumbel rows (ignored when greedy)
+    self_kv: jax.Array,  # (n_layers, B, L, 2D)
+    cross_kv: jax.Array,  # (n_layers, B, S, 2D)
+    index: jax.Array,  # scalar int32 position
+    cross_len: jax.Array,  # (B,) int32
+    *,
+    n_layers: int, d_model: int, nhead: int, d_ff: int, vpad: int,
+    mode: int, max_spans: int, span_cap: int, eos_index: int,
+    mask_index: int, nucleus_p, temperature: float, greedy: bool,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """One full decode token: embed -> 4 layers -> sample -> advance state.
+
+    Returns (new_state (6, B) int32, new_kv (n_layers, B, 2D))."""
+    B = state.shape[1]
+    L = self_kv.shape[2]
+    S = cross_kv.shape[2]
+    D, F = d_model, d_ff
+    dt = self_kv.dtype
+
+    scalars = jnp.concatenate(
+        [jnp.asarray(index, jnp.int32)[None], cross_len.astype(jnp.int32)]
+    )
+
+    def layer_block(shape, buffers=2):
+        return pl.BlockSpec(
+            (1, *shape),
+            lambda i, *_refs: (i, *([0] * len(shape))),
+            pipeline_mode=pl.Buffered(buffer_count=buffers),
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(n_layers,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # emb
+            layer_block((D, 6 * D)),  # w_attn
+            layer_block((1, 7 * D + F)),  # bias strip
+            layer_block((6, D)),  # ln
+            layer_block((D, F)),  # w_ff1
+            layer_block((F, D), buffers=1),  # w_ff2 (single-buffered: VMEM)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # fc_w
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # fc_b
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # masks_f
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # class_mat
+            pl.BlockSpec(memory_space=pl.ANY),  # noise
+            pl.BlockSpec(memory_space=pl.ANY),  # self_kv
+            pl.BlockSpec(memory_space=pl.ANY),  # cross_kv
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # state_out
+            pl.BlockSpec((1, B, 2 * D), lambda i, *_refs: (i, 0, 0)),  # new_kv
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, D), jnp.float32),  # x_s
+            pltpu.VMEM((2, CHUNK, 2 * D), dt),  # kvbuf
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((B, vpad), jnp.float32),  # gumbel row buffer
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    kernel = functools.partial(
+        _kernel_v3, B=B, D=D, H=nhead, L=L, S=S, F=F, n_layers=n_layers,
+        vpad=vpad, mode=mode, max_spans=max_spans, span_cap=span_cap,
+        eos_index=eos_index, mask_index=mask_index, nucleus_p=nucleus_p,
+        temperature=temperature, greedy=greedy,
+    )
+    new_state, new_kv = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((6, B), jnp.int32),
+            jax.ShapeDtypeStruct((n_layers, B, 2 * D), dt),
+        ),
+        interpret=interpret,
+    )(
+        scalars,
+        state.astype(jnp.int32),
+        aux.astype(jnp.int32),
+        span_types.astype(jnp.int32),
+        tables["sid_tbl"],
+        packed["emb"],
+        packed["w_attn"], packed["bias"], packed["ln"],
+        packed["w_ff1"], packed["w_ff2"],
+        packed["fc_w"], packed["fc_b"],
+        tables["state_masks_f"], tables["class_mat"],
+        noise,
+        self_kv, cross_kv,
+    )
+    return new_state, new_kv

@@ -141,7 +141,10 @@ def test_fused_decode_loop_matches_xla_loop():
 
     kw = dict(max_tgt_len=512, nucleus_p=0.9)
     slow = InfillDecoder(model, vocab, fused=False, **kw)
-    fast = InfillDecoder(model, vocab, fused=True, interpret=True, **kw)
+    # fused_sampling draws its noise over the padded vocab (different
+    # stream); token-exactness vs the XLA loop holds for the v2 step kernel
+    fast = InfillDecoder(model, vocab, fused=True, fused_sampling=False,
+                         interpret=True, **kw)
     r_slow = slow(params, src, span_types, n_spans, False, rng)
     r_fast = fast(params, src, span_types, n_spans, False, rng)
 
@@ -149,3 +152,80 @@ def test_fused_decode_loop_matches_xla_loop():
     n = int(r_slow.lengths[0])
     assert np.array_equal(np.asarray(r_slow.tokens)[0, :n],
                           np.asarray(r_fast.tokens)[0, :n])
+
+
+def test_fused_sampling_loop_greedy_matches_xla():
+    """v3 kernel (embed+sample+bookkeeping in-kernel, interpret) must be
+    token-exact vs the XLA loop under greedy decoding (no noise stream)."""
+    from smer_music_generation_tpu.infer.decode import InfillDecoder, pad_to_bucket
+    from smer_music_generation_tpu.vocab import CONTROL_SETS, WordVocab
+
+    vocab = WordVocab(0, CONTROL_SETS[5])
+    cfg, model, params, _ = _decode_fixture(V=vocab.vocab_size, nl=2)
+
+    src_tokens = ["4/4", "t_3", "k_0", "d_2", "o_2", "y_2", "i_0",
+                  "bar", "s_2", "track_0", "d_2", "o_2", "y_2", "m_0",
+                  "m_0", "m_0", "m_0"]
+    src = np.array([[vocab.char2index(t) for t in src_tokens]], np.int32)
+    src = pad_to_bucket(src, bucket=512)
+    span_types = np.zeros((1, 160), np.int32)
+    span_types[0, :4] = [0, 1, 2, 3]
+    n_spans = np.asarray([4], np.int32)
+    rng = jax.random.PRNGKey(3)
+
+    kw = dict(max_tgt_len=512, nucleus_p=None, greedy=True)
+    slow = InfillDecoder(model, vocab, fused=False, **kw)
+    fast = InfillDecoder(model, vocab, fused=True, fused_sampling=True,
+                         interpret=True, **kw)
+    r_slow = slow(params, src, span_types, n_spans, False, rng)
+    r_fast = fast(params, src, span_types, n_spans, False, rng)
+    n = int(r_slow.lengths[0])
+    assert int(r_fast.lengths[0]) == n
+    assert np.array_equal(np.asarray(r_slow.tokens)[0, :n],
+                          np.asarray(r_fast.tokens)[0, :n])
+
+
+def test_fused_sampling_loop_nucleus_well_formed():
+    """v3 nucleus path: stream is grammar-legal and seed-deterministic."""
+    from smer_music_generation_tpu.infer.decode import InfillDecoder, pad_to_bucket
+    from smer_music_generation_tpu.infer.grammar import GrammarTables
+    from smer_music_generation_tpu.vocab import CONTROL_SETS, WordVocab
+
+    vocab = WordVocab(0, CONTROL_SETS[5])
+    cfg, model, params, _ = _decode_fixture(V=vocab.vocab_size, nl=2)
+
+    src_tokens = ["4/4", "t_3", "k_0", "d_2", "o_2", "y_2", "i_0",
+                  "bar", "s_2", "track_0", "d_2", "o_2", "y_2", "m_0",
+                  "m_0", "m_0", "m_0"]
+    src = np.array([[vocab.char2index(t) for t in src_tokens]], np.int32)
+    src = pad_to_bucket(src, bucket=512)
+    span_types = np.zeros((1, 160), np.int32)
+    span_types[0, :4] = [0, 1, 2, 3]
+    n_spans = np.asarray([4], np.int32)
+
+    dec = InfillDecoder(model, vocab, max_tgt_len=512, nucleus_p=0.9,
+                        fused=True, fused_sampling=True, interpret=True)
+    r1 = dec(params, src, span_types, n_spans, False, jax.random.PRNGKey(7))
+    r2 = dec(params, src, span_types, n_spans, False, jax.random.PRNGKey(7))
+    n = int(r1.lengths[0])
+    t1 = np.asarray(r1.tokens)[0, :n]
+    assert np.array_equal(t1, np.asarray(r2.tokens)[0, :n])
+
+    toks = [vocab.index2char(int(x)) for x in t1]
+    assert toks.count("m_0") == 4  # four spans emitted
+    # span 2..4 are control slots: exactly one d_/o_/y_ token each
+    spans, cur = [], None
+    for tk in toks:
+        if tk == "m_0":
+            cur = []
+            spans.append(cur)
+        elif cur is not None:
+            cur.append(tk)
+    assert spans[1][0].startswith("d_") and len(spans[1]) == 1
+    assert spans[2][0].startswith("o_") and len(spans[2]) == 1
+    assert spans[3][0].startswith("y_") and len(spans[3]) == 1
+    # body span tokens come from legal classes only
+    t = GrammarTables.build(vocab)
+    banned = np.asarray(t.always_banned)
+    for tk in spans[0]:
+        assert not banned[vocab.char2index(tk)], tk
