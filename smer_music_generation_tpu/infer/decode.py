@@ -136,10 +136,12 @@ class InfillDecoder:
 
         cfg = model.cfg
         S = src.shape[1]
-        # B gate: the kernel attends per batch element sequentially, which
-        # wins at serving batch sizes but loses to XLA's batched matmuls as
-        # B grows past a few elements.
-        use_fused = self.fused and S % CHUNK == 0 and S <= cfg.max_len and B <= 4
+        # B gate: the kernel attends per batch element sequentially; the
+        # shared per-token weight stream amortizes with B (v5e aggregate:
+        # B=1 15.5k, B=4 35k, B=8 43.6k tok/s vs 14k for the XLA path at
+        # any batch), but per-element instruction count grows linearly —
+        # beyond 8 the engine chunks requests instead (engine.run_batch).
+        use_fused = self.fused and S % CHUNK == 0 and S <= cfg.max_len and B <= 8
         if use_fused:
             nl, D = cfg.num_decoder_layers, cfg.d_model
             vpad = vocab_pad(t.vocab_size)

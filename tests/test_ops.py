@@ -229,3 +229,33 @@ def test_fused_sampling_loop_nucleus_well_formed():
     banned = np.asarray(t.always_banned)
     for tk in spans[0]:
         assert not banned[vocab.char2index(tk)], tk
+
+
+def test_fused_sampling_loop_remi_greedy_matches_xla():
+    """v3 kernel under the REMI (mode 1) grammar: token-exact vs XLA."""
+    from smer_music_generation_tpu.infer.decode import InfillDecoder, pad_to_bucket
+    from smer_music_generation_tpu.vocab import CONTROL_SETS, WordVocab
+
+    vocab = WordVocab(1, CONTROL_SETS[5])
+    cfg, model, params, _ = _decode_fixture(V=vocab.vocab_size, nl=2)
+
+    src_tokens = ["4/4", "t_3", "k_0", "d_2", "o_2", "y_2", "i_0",
+                  "bar", "s_2", "track_0", "d_2", "o_2", "y_2", "m_0",
+                  "m_0", "m_0", "m_0"]
+    src = np.array([[vocab.char2index(t) for t in src_tokens]], np.int32)
+    src = pad_to_bucket(src, bucket=512)
+    span_types = np.zeros((1, 160), np.int32)
+    span_types[0, :4] = [0, 1, 2, 3]
+    n_spans = np.asarray([4], np.int32)
+    rng = jax.random.PRNGKey(5)
+
+    kw = dict(max_tgt_len=512, nucleus_p=None, greedy=True)
+    slow = InfillDecoder(model, vocab, fused=False, **kw)
+    fast = InfillDecoder(model, vocab, fused=True, fused_sampling=True,
+                         interpret=True, **kw)
+    r_slow = slow(params, src, span_types, n_spans, False, rng)
+    r_fast = fast(params, src, span_types, n_spans, False, rng)
+    n = int(r_slow.lengths[0])
+    assert int(r_fast.lengths[0]) == n
+    assert np.array_equal(np.asarray(r_slow.tokens)[0, :n],
+                          np.asarray(r_fast.tokens)[0, :n])
