@@ -145,6 +145,42 @@ def bench_batched(vocab, model, params, batch=16, group=8):
     }
 
 
+def bench_train_step(vocab, model, params, batch_size=8, src_len=2048, tgt_len=512):
+    """Training-step throughput: fwd+bwd+adam on packed-size batches."""
+    import jax
+    import jax.numpy as jnp
+
+    from smer_music_generation_tpu.train.loss import build_loss_tables
+    from smer_music_generation_tpu.train.state import TrainState, make_train_step
+
+    tables = build_loss_tables(vocab)
+    state = TrainState.create(params, lr=1e-4)
+    step = jax.jit(make_train_step(model, tables, dropout=True))
+    rng = jax.random.PRNGKey(0)
+    batch = {
+        "input": jnp.ones((batch_size, src_len), jnp.int32),
+        "target_in": jnp.ones((batch_size, tgt_len), jnp.int32),
+        "target_out": jnp.ones((batch_size, tgt_len), jnp.int32),
+        "input_pad_mask": jnp.zeros((batch_size, src_len), bool),
+        "target_pad_mask": jnp.zeros((batch_size, tgt_len), bool),
+    }
+    state, metrics = step(state, batch, jnp.float32(0.8), rng)
+    jax.block_until_ready(state.params)
+    n, t0 = 8, time.perf_counter()
+    for _ in range(n):
+        state, metrics = step(state, batch, jnp.float32(0.8), rng)
+    jax.device_get(metrics["loss"])
+    dt = time.perf_counter() - t0
+    toks = batch_size * (src_len + tgt_len)
+    return {
+        "batch": batch_size,
+        "src_len": src_len,
+        "tgt_len": tgt_len,
+        "steps_per_sec": round(n / dt, 2),
+        "train_tokens_per_sec": round(n * toks / dt, 0),
+    }
+
+
 def bench_dataset_build(n_files=24):
     """Config 4: bulk MIDI->SMER dataset build throughput."""
     from smer_music_generation_tpu.data.build import build_file
@@ -185,6 +221,7 @@ def main():
         details = {
             "single": headline,
             "batched_16": bench_batched(vocab, model, params, batch=16),
+            "train_step": bench_train_step(vocab, model, params),
             "dataset_build": build,
         }
         with open("BENCH_DETAILS.json", "w") as f:

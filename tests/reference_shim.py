@@ -70,3 +70,25 @@ def load_reference_preprocessing():
         sys.path.insert(0, REFERENCE_DIR)
     _cached = importlib.import_module("preprocessing")
     return _cached
+
+
+def load_reference_module(name: str):
+    """Import another reference module under the same shims.
+
+    ``encode`` additionally needs music21 importable (its key-vote helpers
+    use it); a permissive stub satisfies the import — the tokenizer-side
+    functions under test never touch it.
+    """
+    if load_reference_preprocessing() is None:
+        return None
+    if name == "encode" and "music21" not in sys.modules:
+
+        class _AnyAttr(types.ModuleType):
+            def __getattr__(self, attr):
+                return _AnyAttr(f"{self.__name__}.{attr}")
+
+            def __call__(self, *a, **k):  # pragma: no cover
+                raise RuntimeError("music21 stub called")
+
+        sys.modules["music21"] = _AnyAttr("music21")
+    return importlib.import_module(name)

@@ -86,3 +86,98 @@ def test_decode_note_exact(sig):
     our_pm = events_to_midi(list(ref_events), tempo=float(ref_events[1]))
     assert our_pm is not None
     assert _note_set(our_pm) == _note_set(ref_pm)
+
+
+# ---------------------------------------------------------------------------
+# Further reference modules under the same shim
+# ---------------------------------------------------------------------------
+
+def test_vocab_index_layout_exact():
+    """Both encodings: identical token->index maps vs reference vocab.py."""
+    from smer_music_generation_tpu.vocab import CONTROL_SETS, WordVocab
+
+    from tests.reference_shim import load_reference_module
+
+    ref_vocab = load_reference_module("vocab")
+    control_list = list(CONTROL_SETS[5])
+    for mode in (0, 1):
+        theirs = ref_vocab.WordVocab(mode, control_list)
+        ours = WordVocab(mode, control_list)
+        assert ours.vocab_size == theirs.vocab_size
+        for idx in range(ours.vocab_size):
+            assert ours.index2char(idx) == theirs.index2char(idx), (mode, idx)
+
+
+def test_remi_converter_token_exact():
+    """SMER -> REMI conversion matches reference rest_multi_step_single."""
+    from smer_music_generation_tpu.codec.remi import smer_to_remi
+    from tests.reference_shim import load_reference_module
+
+    dc = load_reference_module("data_convert")
+    for sig in SIGS:
+        score = make_score(sig=sig, tracks=2, bars=5, seed=101)
+        ref_events, ours = _tokenize_both(score, ["melody", "bass"])
+        assert ours == ref_events
+        theirs = dc.rest_multi_step_single(list(ref_events))
+        mine = smer_to_remi(list(ref_events))
+        assert mine == list(theirs), sig
+
+
+def test_tension_engine_parity(tmp_path, monkeypatch):
+    """Tensile strain / diameter / key match reference tension_calculation."""
+    from smer_music_generation_tpu.codec.midi import read_midi
+    from smer_music_generation_tpu.features.tension import cal_tension, extract_notes
+    from tests.reference_shim import load_reference_module
+
+    tc = load_reference_module("tension_calculation")
+    monkeypatch.chdir(tmp_path)  # reference writes no_drum.mid side file
+
+    score = make_score(sig=(4, 4), tracks=2, bars=8, seed=11)
+    path = tmp_path / "t.mid"
+    score.write(str(path))
+
+    import pretty_midi  # the shim module
+
+    pm = pretty_midi.PrettyMIDI(str(path))
+    result = ref.cal_tension(pm)  # preprocessing wrapper: extract + tension
+    assert result is not None
+    rt, rd, rkey = result[0], result[1], result[2]
+
+    ours = extract_notes(read_midi(str(path)), 3)
+    assert ours is not None
+    res2 = cal_tension(
+        ours.piano_roll, ours.beat_time, ours.beat_indices,
+        ours.down_beat_time, ours.down_beat_indices,
+    )
+    assert res2 is not None
+    ot, od, okey = res2[0], res2[1], res2[2]
+    assert okey == rkey
+    np.testing.assert_allclose(ot, rt, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(od, rd, rtol=1e-6, atol=1e-8)
+
+
+def test_serving_window_tokenizer_exact():
+    """16-bar serving tokenizer matches reference encode.midi_2event."""
+    from smer_music_generation_tpu.codec.smer import midi_to_events_window
+    from tests.reference_shim import load_reference_module
+
+    enc = load_reference_module("encode")
+    import pretty_midi
+
+    from tests.test_annotate import make_two_track_score
+
+    score = make_two_track_score(bars=6, seed=42)
+    import tempfile as tf
+    with tf.NamedTemporaryFile(suffix=".mid", delete=False) as f:
+        path = f.name
+    try:
+        score.write(path)
+        pm = pretty_midi.PrettyMIDI(path)
+        theirs = enc.midi_2event(pm, ["track_0", "track_1"])
+    finally:
+        os.unlink(path)
+    assert theirs is not None
+    ref_events = list(theirs[0])
+    mine = midi_to_events_window(score, ["track_0", "track_1"])
+    assert mine is not None
+    assert list(mine[0]) == ref_events
