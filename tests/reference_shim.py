@@ -53,12 +53,15 @@ def load_reference_preprocessing():
                         n.start = np.float64(n.start)
                         n.end = np.float64(n.end)
 
+    from smer_music_generation_tpu.codec.annotate import program_to_instrument_name
+
     pm_mod = types.ModuleType("pretty_midi")
     pm_mod.PrettyMIDI = PrettyMIDI
     pm_mod.Note = fmidi.Note
     pm_mod.Instrument = fmidi.Instrument
     pm_mod.TimeSignature = fmidi.TimeSignature
     pm_mod.Lyric = fmidi.Lyric
+    pm_mod.program_to_instrument_name = program_to_instrument_name
 
     class _AnyAttr(types.ModuleType):
         def __getattr__(self, name):  # permissive logging-helper stub

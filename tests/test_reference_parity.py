@@ -181,3 +181,99 @@ def test_serving_window_tokenizer_exact():
     mine = midi_to_events_window(score, ["track_0", "track_1"])
     assert mine is not None
     assert list(mine[0]) == ref_events
+
+
+def test_control_insertion_token_exact(tmp_path, monkeypatch):
+    """Control-token insertion (the stream IR, SURVEY §2.3) matches the
+    reference ``remove_continue_add_control_event`` token-for-token, and
+    the UI controls dicts agree on the track/bar control categories."""
+    from smer_music_generation_tpu.codec.annotate import add_control_events
+    from smer_music_generation_tpu.codec.midi import read_midi
+    from smer_music_generation_tpu.codec.smer import (
+        events_to_midi,
+        midi_to_events_window,
+    )
+    from tests.reference_shim import load_reference_module
+    from tests.test_annotate import make_two_track_score
+
+    enc = load_reference_module("encode")
+    monkeypatch.chdir(tmp_path)
+    import pretty_midi
+
+    score = make_two_track_score(bars=6, seed=42)
+    path = str(tmp_path / "c.mid")
+    score.write(path)
+    pm = pretty_midi.PrettyMIDI(path)
+
+    # shared front half (already proven token-exact above)
+    theirs_tok = enc.midi_2event(pm, ["track_0", "track_1"])
+    assert theirs_tok is not None
+    events, ref_pm, tempo = theirs_tok[0], theirs_tok[1], theirs_tok[2]
+
+    canonical = events_to_midi(list(events), float(tempo))
+    res = ref.cal_tension(canonical)
+    assert res is not None
+    tensiles = res[0]
+    from smer_music_generation_tpu.vocab import TENSILE_BINS, to_category
+
+    tensile_cat = to_category(tensiles, TENSILE_BINS)
+    key = "C major"
+
+    file_events = np.array(list(events), dtype=object)
+    import importlib
+    vocab_mod = importlib.import_module("vocab")
+    tempo_category = int(
+        np.where((float(file_events[1]) - vocab_mod.tempo_bins) >= 0)[0][-1]
+    )
+    n_tracks = 2
+    header = list(file_events[: 2 + n_tracks])
+    bar_pos = np.where(file_events == "bar")[0]
+    total_bars = min(len(tensile_cat), len(bar_pos))
+
+    ref_in = np.array(list(file_events), dtype="<U16")
+    ref_in[1] = f"t_{tempo_category}"
+    r_events, r_controls = enc.remove_continue_add_control_event(
+        ref_in[bar_pos[0]:], list(ref_in[: 2 + n_tracks]), key,
+        list(tensile_cat[:total_bars]), canonical,
+    )
+
+    ours = add_control_events(
+        list(file_events[bar_pos[0]:]),
+        [str(file_events[0]), f"t_{tempo_category}"] + [str(x) for x in file_events[2:4]],
+        key, list(tensile_cat[:total_bars]), canonical,
+    )
+    assert ours is not None
+    o_events, o_controls = ours
+
+    assert [str(t) for t in o_events] == [str(t) for t in r_events]
+    for tn in ("track_0", "track_1"):
+        assert o_controls[tn] == r_controls[tn], tn
+    assert o_controls["key"] == r_controls["key"]
+
+
+def test_control_metrics_parity():
+    """density / occupation / polyphony category math vs reference encode."""
+    from smer_music_generation_tpu.features.controls import (
+        note_density,
+        occupation_polyphony_rate,
+    )
+    from tests.reference_shim import load_reference_module
+
+    enc = load_reference_module("encode")
+    import importlib
+    vocab_mod = importlib.import_module("vocab")
+
+    rng = np.random.default_rng(5)
+    # synthetic per-track event streams in the reference's expected shape:
+    # a dict track_name -> list of per-bar token lists
+    track_events = {
+        "track_0": [list(rng.choice(["p_60", "p_64", "quarter", "rest", "continue"], size=8)) for _ in range(8)],
+        "track_1": [list(rng.choice(["p_40", "half", "rest"], size=6)) for _ in range(8)],
+    }
+    bar_sixteenths = 16
+    total_sixteenths = bar_sixteenths * 8
+    r_total, r_bar = enc.note_density(track_events, bar_sixteenths, total_sixteenths)
+    o_total, o_bar = note_density(track_events, bar_sixteenths, total_sixteenths)
+    assert np.allclose(list(o_total), list(r_total))
+    for tn in track_events:
+        assert np.allclose(o_bar[tn], r_bar[tn])
