@@ -417,3 +417,53 @@ def test_check_track_total_time_cap_truncated_tail():
     ok2, fixed2 = check_track_total_time(fixed, table)
     assert ok2, f"repair did not converge: {fixed}"
     assert fixed2 == fixed
+
+
+def test_decode_batch_parallel_over_mesh(vocab):
+    """Multi-chip serving: the decode program with the batch sharded over an
+    8-device dp mesh produces the exact same token streams as unsharded
+    (SURVEY §2.5: DP is the load-bearing scale-out; sessions are
+    batch-parallel across chips)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from smer_music_generation_tpu.infer.decode import InfillDecoder, pad_to_bucket
+    from smer_music_generation_tpu.models.transformer import ModelConfig, ScoreTransformer
+    from smer_music_generation_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    cfg = ModelConfig(
+        vocab_size=vocab.vocab_size, d_model=32, nhead=4, num_encoder_layers=1,
+        num_decoder_layers=1, d_ff=64, max_len=2048, dropout=0.0, pos_dropout=0.0,
+    )
+    model = ScoreTransformer(cfg)
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        jnp.ones((1, 8), jnp.int32), jnp.ones((1, 8), jnp.int32))
+
+    src_tokens = ["4/4", "t_3", "k_0", "d_2", "o_2", "y_2", "i_0",
+                  "bar", "s_2", "track_0", "d_2", "o_2", "y_2", "m_0",
+                  "m_0", "m_0", "m_0"]
+    B = 8
+    src = np.repeat(
+        pad_to_bucket(np.array([[vocab.char2index(t) for t in src_tokens]], np.int32),
+                      bucket=256),
+        B, axis=0,
+    )
+    span_types = np.zeros((B, 160), np.int32)
+    span_types[:, :4] = [0, 1, 2, 3]
+    n_spans = np.full((B,), 4, np.int32)
+    rng = jax.random.PRNGKey(11)
+
+    dec = InfillDecoder(model, vocab, max_tgt_len=256, nucleus_p=0.9, fused=False)
+    base = dec(params, src, span_types, n_spans, False, rng)
+
+    mesh = make_mesh(8, tp=1)
+    shard = batch_sharding(mesh)
+    rep = NamedSharding(mesh, P())
+    src_d = jax.device_put(jnp.asarray(src), shard)
+    st_d = jax.device_put(jnp.asarray(span_types), shard)
+    ns_d = jax.device_put(jnp.asarray(n_spans), shard)
+    params_d = jax.device_put(params, rep)
+    sharded = dec(params_d, src_d, st_d, ns_d, False, rng)
+
+    assert np.array_equal(np.asarray(base.tokens), np.asarray(sharded.tokens))
+    assert np.array_equal(np.asarray(base.lengths), np.asarray(sharded.lengths))
