@@ -119,6 +119,8 @@ def bench_batched(vocab, model, params, batch=16, group=8):
     span_types[:, : len(span_codes)] = span_codes
     n_spans = np.full((group,), len(span_codes), dtype=np.int32)
 
+    assert batch % group == 0, "bench batch must be a multiple of group"
+
     def run_all(seed):
         total = 0
         for g in range(batch // group):

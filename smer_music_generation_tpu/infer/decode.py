@@ -46,6 +46,7 @@ from ..ops.decode_step import (
 )
 from ..vocab import WordVocab
 from .grammar import (
+    N_SID,
     SPAN_BODY,
     GrammarTables,
     allowed_mask_fast,
@@ -68,7 +69,7 @@ class InfillDecoder:
     model: ScoreTransformer
     vocab: WordVocab
     max_tgt_len: int = 1024
-    max_spans: int = 160
+    max_spans: int = 256  # 16 bars x 3 tracks x (body + 3 controls + tensile)
     span_cap: int = 100  # tokens per span incl. the introducing m_0
     nucleus_p: Optional[float] = 0.9
     temperature: float = 1.0
@@ -288,7 +289,8 @@ class InfillDecoder:
                 max_spans=self.max_spans, span_cap=self.span_cap,
                 eos_index=t.eos_index, mask_index=t.mask_index,
                 nucleus_p=self.nucleus_p, temperature=self.temperature,
-                greedy=self.greedy, interpret=self.interpret,
+                greedy=self.greedy, n_sid=N_SID, span_body=SPAN_BODY,
+                interpret=self.interpret,
             )
             out = out.at[:, pos + 1].set(new_state[ST_TOKEN])
             cache = jax.lax.dynamic_update_slice(
@@ -301,18 +303,23 @@ class InfillDecoder:
         return DecodeResult(tokens=out, lengths=state[ST_LEN], steps=pos)
 
 
-def pad_to_bucket(ids: np.ndarray, bucket: int = 512, cap: int = 2048) -> np.ndarray:
+def pad_to_bucket(
+    ids: np.ndarray, bucket: int = 512, cap: int = 2048, hard_cap: int = 2400
+) -> np.ndarray:
     """Pad a (B, S) id matrix to a bucketed length to bound recompiles.
 
     Default bucket matches the fused decode kernel's KV CHUNK so the fast
     path stays eligible.  A source longer than ``cap`` (rare: serving
     streams are 16-bar windows, typically 400-900 tokens) falls back to
-    256-bucketing under the model's positional limit — the decoder then
-    auto-selects the XLA step path instead of the fused kernel.
+    256-bucketing; ``hard_cap`` (the model's positional limit) truncates
+    anything longer — the decoder then auto-selects the XLA step path
+    instead of the fused kernel.
     """
     S = ids.shape[1]
     if S > cap:
-        target = min(int(np.ceil(S / 256)) * 256, 2400)
+        # beyond the fused-kernel-eligible ceiling: 256-bucket up to the
+        # model's positional limit, truncating past it
+        target = min(int(np.ceil(S / 256)) * 256, hard_cap)
         if target <= S:
             return ids[:, :target]
         return np.pad(ids, ((0, 0), (0, target - S)))

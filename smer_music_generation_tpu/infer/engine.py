@@ -9,7 +9,7 @@ pure numpy/python string work.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -370,24 +370,33 @@ class InfillEngine:
         # throughput and per-request latency.
         group = 8
         if B > group and self.decoder.fused:
+            # pad the tail group to the full group size with done-at-start
+            # dummies (n_spans = 0) so it reuses the B=group executable
+            # instead of compiling a new program for the remainder shape
+            padded = list(requests)
+            while len(padded) % group:
+                padded.append(replace(requests[-1], span_codes=[]))
             results: List[Optional[InfillResult]] = []
-            for i in range(0, B, group):
+            for i in range(0, len(padded), group):
                 results.extend(
                     self.run_batch(
-                        requests[i : i + group],
+                        padded[i : i + group],
                         jax.random.fold_in(rng, i),
                         fix_durations=fix_durations,
                         correct_controls=correct_controls,
                     )
                 )
-            return results
+            return results[:B]
         max_spans = self.decoder.max_spans
         max_src = max(len(r.src) for r in requests)
         src_b = np.zeros((B, max_src), dtype=np.int32)
         span_types = np.zeros((B, max_spans), dtype=np.int32)
         n_spans = np.zeros((B,), dtype=np.int32)
         no_whole = np.zeros((B,), dtype=bool)
+        overflow = [i for i, r in enumerate(requests) if len(r.span_codes) > max_spans]
         for i, r in enumerate(requests):
+            if i in overflow:
+                continue  # decoded as a no-op; result reported as None below
             src_b[i, : len(r.src)] = r.src
             span_types[i, : len(r.span_codes)] = r.span_codes
             n_spans[i] = len(r.span_codes)
@@ -403,6 +412,11 @@ class InfillEngine:
             (out.tokens, out.lengths, out.steps)
         )
         for i, r in enumerate(requests):
+            if i in overflow:
+                # more masked spans than the decoder's static budget; the
+                # caller should mask fewer bars/tracks per request
+                results.append(None)
+                continue
             generated = [self.vocab.index2char(t) for t in tokens_all[i][: int(lengths[i])]]
             src_tokens = [self.vocab.index2char(int(t)) for t in r.src]
             restored = restore_marked_input(src_tokens, generated)

@@ -230,27 +230,15 @@ def _flash_attend(
     return acc / _head_expand(l, MT)  # (1, D)
 
 
-def _kernel(
-    scalars,  # (1 + B,) int32: [index, cross_len...]
-    # pipelined weight blocks (leading layer dim of 1)
-    x_ref, w_attn, bias, ln, w_ff1, w_ff2, fc_w, fc_b,
-    # HBM caches (interleaved K|V lanes)
-    self_kv, cross_kv,
-    # outputs
-    logits_ref, newkv_ref,
-    # scratch
-    x_s, kvbuf, sems,
-    *, B: int, D: int, H: int, L: int, S: int, F: int, n_layers: int,
+def _layer_body(
+    x, i, scalars, w_attn, bias, ln, w_ff1, w_ff2,
+    self_kv, cross_kv, newkv_ref, kvbuf, sems,
+    *, B: int, D: int, H: int, L: int, S: int, F: int,
 ):
-    i = pl.program_id(0)
+    """One decoder layer on the (B, D) f32 activation (shared by the v2
+    step kernel and the v3 whole-token kernel)."""
     HD = D // H
     index = scalars[0]
-
-    @pl.when(i == 0)
-    def _():
-        x_s[:] = x_ref[:].astype(jnp.float32)
-
-    x = x_s[:]  # (B, D) f32
     dt = w_attn.dtype
     b_all = bias[0, 0]  # (7D + F,) f32
 
@@ -313,7 +301,32 @@ def _kernel(
         jnp.dot(h.astype(dt), w_ff2[0], preferred_element_type=jnp.float32)
         + b_all[6 * D + F : 6 * D + F + D]
     )
-    x = _layernorm(x + y, ln[0, 4], ln[0, 5])
+    return _layernorm(x + y, ln[0, 4], ln[0, 5])
+
+
+def _kernel(
+    scalars,  # (1 + B,) int32: [index, cross_len...]
+    # pipelined weight blocks (leading layer dim of 1)
+    x_ref, w_attn, bias, ln, w_ff1, w_ff2, fc_w, fc_b,
+    # HBM caches (interleaved K|V lanes)
+    self_kv, cross_kv,
+    # outputs
+    logits_ref, newkv_ref,
+    # scratch
+    x_s, kvbuf, sems,
+    *, B: int, D: int, H: int, L: int, S: int, F: int, n_layers: int,
+):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        x_s[:] = x_ref[:].astype(jnp.float32)
+
+    x = _layer_body(
+        x_s[:], i, scalars, w_attn, bias, ln, w_ff1, w_ff2,
+        self_kv, cross_kv, newkv_ref, kvbuf, sems,
+        B=B, D=D, H=H, L=L, S=S, F=F,
+    )
     x_s[:] = x
 
     @pl.when(i == n_layers - 1)
@@ -475,7 +488,7 @@ def _sample_and_advance_b(
     b, logits_b, g_b, scalars, state, aux, span_types, sid_tbl, masks_f,
     class_mat, state_out, *, mode: int, max_spans: int, span_cap: int,
     eos_index: int, mask_index: int, nucleus_p, temperature: float,
-    greedy: bool, vpad: int,
+    greedy: bool, vpad: int, n_sid: int, span_body: int,
 ):
     """Grammar-masked sampling + state transition for one batch element.
 
@@ -499,7 +512,7 @@ def _sample_and_advance_b(
         sid = jnp.where(is_start, start_sid, flag_sid)
     else:
         sid = jnp.where(bits > 0, flag_sid, jnp.where(is_start, start_sid, 0))
-    row = nw * N_SID + sid
+    row = nw * n_sid + sid
     allowed = masks_f[pl.ds(row, 1), :]  # (1, vpad) f32 0/1 (ref read)
 
     NEG = -1e9
@@ -559,7 +572,7 @@ def _sample_and_advance_b(
         + n_pitch.astype(jnp.int32) * 2 + n_rest.astype(jnp.int32)
     )
 
-    control_done = (cur_type != SPAN_BODY_CODE) & (steps >= 2)
+    control_done = (cur_type != span_body) & (steps >= 2)
     end_span = (sampled == eos_index) | (steps + 1 >= span_cap) | control_done
     new_span_idx = jnp.where(end_span, span_idx + 1, span_idx)
     now_done = (done > 0) | (new_span_idx >= n_spans)
@@ -577,10 +590,6 @@ def _sample_and_advance_b(
     state_out[ST_LEN, b] = new_len
 
 
-SPAN_BODY_CODE = 0  # SPAN_BODY from infer.grammar (kept local: no circular import)
-N_SID = 10  # matches infer.grammar.N_SID
-
-
 def _kernel_v3(
     scalars, state, aux, span_types, sid_tbl,  # scalar-prefetch (SMEM)
     emb, w_attn, bias, ln, w_ff1, w_ff2, fc_w, fc_b, masks_f, class_mat,
@@ -590,9 +599,9 @@ def _kernel_v3(
     *, B: int, D: int, H: int, L: int, S: int, F: int, n_layers: int,
     vpad: int, mode: int, max_spans: int, span_cap: int, eos_index: int,
     mask_index: int, nucleus_p, temperature: float, greedy: bool,
+    n_sid: int, span_body: int,
 ):
     i = pl.program_id(0)
-    HD = D // H
     index = scalars[0]
 
     @pl.when(i == 0)
@@ -613,66 +622,11 @@ def _kernel_v3(
         x = jnp.concatenate(rows, axis=0) * math.sqrt(D)  # (B, D)
         x_s[:] = x + _pe_row(index, D)
 
-    x = x_s[:]  # (B, D) f32
-    dt = w_attn.dtype
-    b_all = bias[0, 0]  # (7D + F,) f32
-
-    qkv = (
-        jnp.dot(x.astype(dt), w_attn[0][:, : 3 * D], preferred_element_type=jnp.float32)
-        + b_all[: 3 * D]
+    x = _layer_body(
+        x_s[:], i, scalars, w_attn, bias, ln, w_ff1, w_ff2,
+        self_kv, cross_kv, newkv_ref, kvbuf, sems,
+        B=B, D=D, H=H, L=L, S=S, F=F,
     )
-    q = qkv[:, :D]
-    k_new = qkv[:, D : 2 * D]
-    v_new = qkv[:, 2 * D :]
-    newkv_ref[0] = qkv[:, D:].astype(newkv_ref.dtype)
-
-    att_rows = []
-    for b in range(B):
-        att_rows.append(
-            _flash_attend(
-                q[b],
-                lambda c, b=b: self_kv.at[i, b, pl.ds(c * CHUNK, CHUNK), :],
-                index, L // CHUNK, kvbuf, sems, H, HD,
-                extra_kv=(k_new[b], v_new[b]),
-            )
-        )
-    att = jnp.concatenate(att_rows, axis=0)
-    o = (
-        jnp.dot(att.astype(dt), w_attn[0][:, 3 * D : 4 * D], preferred_element_type=jnp.float32)
-        + b_all[3 * D : 4 * D]
-    )
-    x = _layernorm(x + o, ln[0, 0], ln[0, 1])
-
-    qc = (
-        jnp.dot(x.astype(dt), w_attn[0][:, 4 * D : 5 * D], preferred_element_type=jnp.float32)
-        + b_all[4 * D : 5 * D]
-    )
-    att_rows = []
-    for b in range(B):
-        att_rows.append(
-            _flash_attend(
-                qc[b],
-                lambda c, b=b: cross_kv.at[i, b, pl.ds(c * CHUNK, CHUNK), :],
-                scalars[1 + b], S // CHUNK, kvbuf, sems, H, HD,
-            )
-        )
-    att = jnp.concatenate(att_rows, axis=0)
-    o = (
-        jnp.dot(att.astype(dt), w_attn[0][:, 5 * D : 6 * D], preferred_element_type=jnp.float32)
-        + b_all[5 * D : 6 * D]
-    )
-    x = _layernorm(x + o, ln[0, 2], ln[0, 3])
-
-    h = (
-        jnp.dot(x.astype(dt), w_ff1[0], preferred_element_type=jnp.float32)
-        + b_all[6 * D : 6 * D + F]
-    )
-    h = jnp.maximum(h, 0.0)
-    y = (
-        jnp.dot(h.astype(dt), w_ff2[0], preferred_element_type=jnp.float32)
-        + b_all[6 * D + F : 6 * D + F + D]
-    )
-    x = _layernorm(x + y, ln[0, 4], ln[0, 5])
     x_s[:] = x
 
     @pl.when(i == n_layers - 1)
@@ -688,7 +642,7 @@ def _kernel_v3(
                 mode=mode, max_spans=max_spans, span_cap=span_cap,
                 eos_index=eos_index, mask_index=mask_index,
                 nucleus_p=nucleus_p, temperature=temperature, greedy=greedy,
-                vpad=vpad,
+                vpad=vpad, n_sid=n_sid, span_body=span_body,
             )
 
 
@@ -697,7 +651,7 @@ def _kernel_v3(
     static_argnames=(
         "n_layers", "d_model", "nhead", "d_ff", "vpad", "mode", "max_spans",
         "span_cap", "eos_index", "mask_index", "nucleus_p", "temperature",
-        "greedy", "interpret",
+        "greedy", "n_sid", "span_body", "interpret",
     ),
 )
 def fused_decode_token(
@@ -715,6 +669,7 @@ def fused_decode_token(
     n_layers: int, d_model: int, nhead: int, d_ff: int, vpad: int,
     mode: int, max_spans: int, span_cap: int, eos_index: int,
     mask_index: int, nucleus_p, temperature: float, greedy: bool,
+    n_sid: int, span_body: int,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """One full decode token: embed -> 4 layers -> sample -> advance state.
@@ -772,7 +727,8 @@ def fused_decode_token(
         _kernel_v3, B=B, D=D, H=nhead, L=L, S=S, F=F, n_layers=n_layers,
         vpad=vpad, mode=mode, max_spans=max_spans, span_cap=span_cap,
         eos_index=eos_index, mask_index=mask_index, nucleus_p=nucleus_p,
-        temperature=temperature, greedy=greedy,
+        temperature=temperature, greedy=greedy, n_sid=n_sid,
+        span_body=span_body,
     )
     new_state, new_kv = pl.pallas_call(
         kernel,

@@ -467,3 +467,35 @@ def test_decode_batch_parallel_over_mesh(vocab):
 
     assert np.array_equal(np.asarray(base.tokens), np.asarray(sharded.tokens))
     assert np.array_equal(np.asarray(base.lengths), np.asarray(sharded.lengths))
+
+
+def test_run_batch_rejects_span_overflow_and_pads_tail(vocab, mode2_events, tiny_engine):
+    """A request with more spans than the decoder's static budget yields
+    None (not a crash); a 9-request batch runs as padded fused groups and
+    returns exactly 9 results."""
+    from dataclasses import replace
+
+    events, _ = mode2_events
+    req = tiny_engine.prepare(events, [0], [1, 2])
+    assert req is not None
+
+    too_many = replace(req, span_codes=list(req.span_codes) * 60)
+    assert len(too_many.span_codes) > tiny_engine.decoder.max_spans
+    results = tiny_engine.run_batch([too_many, req], jax.random.PRNGKey(0))
+    assert results[0] is None
+    assert results[1] is not None and "m_0" not in results[1].events
+
+    # tail-group padding path requires a fused decoder; on CPU the decoder
+    # reports fused=False, so force the chunking branch to execute by
+    # monkey-flagging it (the decode itself still runs the XLA path with
+    # B = group via the padded dummies).
+    tiny_engine.decoder.fused = True
+    tiny_engine.decoder.fused_sampling = False
+    tiny_engine.decoder.interpret = True
+    try:
+        results = tiny_engine.run_batch([req] * 9, jax.random.PRNGKey(1))
+    finally:
+        tiny_engine.decoder.fused = False
+        tiny_engine.decoder.interpret = False
+    assert len(results) == 9
+    assert all(r is not None for r in results)
