@@ -49,6 +49,18 @@ class ModelConfig:
     # (ops/attention.py) on deterministic passes.  Requires suffix padding
     # (the framework's collate/bucketing guarantees it).
     flash_encoder: bool = False
+    # Route ALL training-path attention (encoder self, decoder self, cross)
+    # through jax.experimental.pallas.ops.tpu.flash_attention — a fused
+    # kernel WITH a custom VJP, so the (B, H, T, S) score matrices are
+    # never materialized in HBM.  Measured on v5e at the flagship shape
+    # (B8 / S2048 / T512): loss-exact to bf16 tolerance but ~15% SLOWER
+    # than the XLA path (attention is not this model's train bottleneck) —
+    # keep off for the flagship; intended for longer-sequence variants.
+    # Divergences: attention-weight dropout is not applied on this path,
+    # and the decoder's cross-attention weights are not returned (None).
+    # Falls back to the XLA path when sequence lengths are not multiples
+    # of the kernel block size (128).
+    flash_training: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -134,6 +146,44 @@ class MultiHeadAttention(nn.Module):
         out = fused_attention(q, k, v, kv_valid_len=kv_valid_len)
         return self.out_proj(out.reshape(B, T, c.d_model))
 
+    def attend_flash_vjp(
+        self,
+        q_in: Array,  # (B, T, D)
+        kv_in: Array,  # (B, S, D)
+        kv_valid: Array,  # (B, S) int32/bool, 1 = real token (keys-only mask)
+        causal: bool,
+    ) -> Array:
+        """Differentiable flash attention (library kernel with custom VJP).
+
+        Matches the XLA path's masking exactly: only KEYS are masked (pad
+        queries still attend valid keys, as in ``decode``/``encode``), so
+        q segment ids are all-ones and kv segment ids are the validity
+        mask.  No attention-weight dropout on this path.
+        """
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            SegmentIds,
+            flash_attention,
+        )
+
+        c = self.cfg
+        B, T, _ = q_in.shape
+        q = self.q_proj(q_in).reshape(B, T, c.nhead, c.head_dim)
+        k, v = self.project_kv(kv_in)
+        seg = SegmentIds(
+            q=jnp.ones((B, T), jnp.int32),
+            kv=kv_valid.astype(jnp.int32),
+        )
+        out = flash_attention(
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            segment_ids=seg,
+            causal=causal,
+            sm_scale=1.0 / math.sqrt(c.head_dim),
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, c.d_model)
+        return self.out_proj(out.astype(c.dtype))
+
 
 class FeedForward(nn.Module):
     cfg: ModelConfig
@@ -159,8 +209,10 @@ class EncoderLayer(nn.Module):
         self.drop1 = nn.Dropout(rate=c.dropout)
         self.drop2 = nn.Dropout(rate=c.dropout)
 
-    def __call__(self, x, mask, deterministic=True, kv_valid_len=None):
-        if kv_valid_len is not None and deterministic and self.cfg.flash_encoder:
+    def __call__(self, x, mask, deterministic=True, kv_valid_len=None, kv_valid=None):
+        if kv_valid is not None and self.cfg.flash_training:
+            attn_out = self.self_attn.attend_flash_vjp(x, x, kv_valid, causal=False)
+        elif kv_valid_len is not None and deterministic and self.cfg.flash_encoder:
             attn_out = self.self_attn.attend_flash(x, x, kv_valid_len)
         else:
             attn_out, _ = self.self_attn(x, x, mask, deterministic)
@@ -184,10 +236,21 @@ class DecoderLayer(nn.Module):
         self.drop2 = nn.Dropout(rate=c.dropout)
         self.drop3 = nn.Dropout(rate=c.dropout)
 
-    def __call__(self, x, memory, self_mask, cross_mask, deterministic=True):
-        attn_out, _ = self.self_attn(x, x, self_mask, deterministic)
-        x = self.norm1(x + self.drop1(attn_out, deterministic=deterministic))
-        cross_out, cross_weights = self.cross_attn(x, memory, cross_mask, deterministic)
+    def __call__(
+        self, x, memory, self_mask, cross_mask, deterministic=True,
+        tgt_valid=None, mem_valid=None,
+    ):
+        if tgt_valid is not None and self.cfg.flash_training:
+            attn_out = self.self_attn.attend_flash_vjp(x, x, tgt_valid, causal=True)
+            x = self.norm1(x + self.drop1(attn_out, deterministic=deterministic))
+            cross_out = self.cross_attn.attend_flash_vjp(
+                x, memory, mem_valid, causal=False
+            )
+            cross_weights = None
+        else:
+            attn_out, _ = self.self_attn(x, x, self_mask, deterministic)
+            x = self.norm1(x + self.drop1(attn_out, deterministic=deterministic))
+            cross_out, cross_weights = self.cross_attn(x, memory, cross_mask, deterministic)
         x = self.norm2(x + self.drop2(cross_out, deterministic=deterministic))
         x = self.norm3(x + self.drop3(self.ff(x, deterministic), deterministic=deterministic))
         return x, cross_weights
@@ -243,14 +306,21 @@ class ScoreTransformer(nn.Module):
         x = self.embed(src, deterministic=deterministic)
         attn_mask = None
         kv_valid_len = None
+        kv_valid = None
         if src_pad_mask is not None:
             attn_mask = (~src_pad_mask)[:, None, None, :]  # (B,1,1,S) True=attend
             if self.cfg.flash_encoder:
                 kv_valid_len = jnp.sum(~src_pad_mask, axis=1).astype(jnp.int32)
-        elif self.cfg.flash_encoder:
-            kv_valid_len = jnp.full((src.shape[0],), src.shape[1], dtype=jnp.int32)
+            if self.cfg.flash_training and src.shape[1] % 128 == 0:
+                kv_valid = ~src_pad_mask
+        else:
+            if self.cfg.flash_encoder:
+                kv_valid_len = jnp.full((src.shape[0],), src.shape[1], dtype=jnp.int32)
+            if self.cfg.flash_training and src.shape[1] % 128 == 0:
+                kv_valid = jnp.ones(src.shape, bool)
         for layer in self.encoder_layers:
-            x = layer(x, attn_mask, deterministic, kv_valid_len=kv_valid_len)
+            x = layer(x, attn_mask, deterministic, kv_valid_len=kv_valid_len,
+                      kv_valid=kv_valid)
         return x
 
     def decode(
@@ -263,6 +333,28 @@ class ScoreTransformer(nn.Module):
     ) -> Tuple[Array, Array]:
         B, T = tgt.shape
         x = self.embed(tgt, deterministic=deterministic)
+        # the library flash kernel needs 128-multiple sequence lengths
+        flash_ok = (
+            self.cfg.flash_training
+            and T % 128 == 0
+            and memory.shape[1] % 128 == 0
+        )
+        if flash_ok:
+            tgt_valid = (
+                ~tgt_pad_mask if tgt_pad_mask is not None
+                else jnp.ones((B, T), bool)
+            )
+            mem_valid = (
+                ~memory_pad_mask if memory_pad_mask is not None
+                else jnp.ones(memory.shape[:2], bool)
+            )
+            for layer in self.decoder_layers:
+                x, _ = layer(
+                    x, memory, None, None, deterministic,
+                    tgt_valid=tgt_valid, mem_valid=mem_valid,
+                )
+            logits = self.fc(x.astype(jnp.float32))
+            return logits, None  # cross-attn weights unavailable on this path
         causal = jnp.tril(jnp.ones((T, T), dtype=bool))[None, None, :, :]
         if tgt_pad_mask is not None:
             self_mask = causal & (~tgt_pad_mask)[:, None, None, :]

@@ -150,6 +150,7 @@ def build_model(
     max_len: int = 2400,
     dropout: float = 0.1,
     dtype=jnp.float32,
+    flash_training: bool = False,
 ) -> ScoreTransformer:
     """The flagship config (reference ``config/config.yaml:26-43``)."""
     cfg = ModelConfig(
@@ -163,5 +164,6 @@ def build_model(
         dropout=dropout,
         pos_dropout=dropout,
         dtype=dtype,
+        flash_training=flash_training,
     )
     return ScoreTransformer(cfg)

@@ -211,3 +211,30 @@ def test_flash_encoder_matches_reference_path():
     np.testing.assert_allclose(
         np.asarray(mem[1, :25]), np.asarray(mem_flash[1, :25]), atol=2e-3, rtol=1e-2
     )
+
+
+def test_flash_training_flag_fallback_and_api():
+    """flash_training=True falls back to the XLA path (identical outputs)
+    when sequence lengths are not 128-multiples; decode() returns None
+    cross-attention weights on the flash path by contract."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from smer_music_generation_tpu.models.transformer import (
+        ModelConfig,
+        ScoreTransformer,
+    )
+
+    kw = dict(vocab_size=50, d_model=64, nhead=2, num_encoder_layers=1,
+              num_decoder_layers=1, d_ff=128, max_len=256, dropout=0.0,
+              pos_dropout=0.0)
+    m0 = ScoreTransformer(ModelConfig(**kw))
+    m1 = ScoreTransformer(ModelConfig(flash_training=True, **kw))
+    src = jnp.ones((2, 100), jnp.int32)  # 100 % 128 != 0 -> fallback
+    tgt = jnp.ones((2, 60), jnp.int32)
+    params = m0.init({"params": jax.random.PRNGKey(0)}, src, tgt)
+    l0, w0 = m0.apply(params, src, tgt)
+    l1, w1 = m1.apply(params, src, tgt)
+    assert np.allclose(np.asarray(l0), np.asarray(l1))
+    assert w1 is not None  # fallback path still returns weights
