@@ -66,7 +66,10 @@ def bench_single(vocab, model, params):
     from smer_music_generation_tpu.infer.engine import InfillEngine
 
     events = serving_events(vocab)
-    engine = InfillEngine(model, params, vocab, nucleus_p=0.9, max_tgt_len=1024)
+    # random weights rarely close bars, so the duration-repair retry loop
+    # would always exhaust; disable it to measure the single-decode path
+    engine = InfillEngine(model, params, vocab, nucleus_p=0.9, max_tgt_len=1024,
+                          max_time_fix_attempts=0)
     bars = list(range(8))
     engine(events, [0], bars, jax.random.PRNGKey(1))  # warmup/compile
 

@@ -403,23 +403,57 @@ class InfillEngine:
             no_whole[i] = r.no_whole_duration
         src_b = pad_to_bucket(src_b)
 
-        out = self.decoder(self.params, src_b, span_types, n_spans, no_whole, rng)
+        # Host-driven regeneration loop around the jitted decode (reference
+        # ``evaluation.py:1300-1397``): elements whose generated bars do not
+        # close their bar duration are re-decoded with fresh sampling noise
+        # (up to max_time_fix_attempts) before the forced duration repair
+        # rewrites them.  Settled elements stay in the batch with
+        # n_spans = 0 (done at step 0) so every retry reuses the SAME
+        # compiled program.  Greedy decoding is deterministic — retrying
+        # cannot change the outcome, so it goes straight to repair.
+        retries = (
+            self.max_time_fix_attempts
+            if fix_durations and self.vocab.mode == 0 and not self.decoder.greedy
+            else 0
+        )
+        live = n_spans.copy()
+        settled: Dict[int, Tuple[List[str], List[str], int]] = {}
+        rng_try = rng
+        for attempt in range(1 + retries):
+            out = self.decoder(self.params, src_b, span_types, live, no_whole, rng_try)
+            # single host transfer: over a remote/tunnelled backend every
+            # device->host fetch pays a full round trip
+            tokens_all, lengths, steps = jax.device_get(
+                (out.tokens, out.lengths, out.steps)
+            )
+            for i, r in enumerate(requests):
+                if i in overflow or i in settled or live[i] == 0:
+                    continue
+                generated = [
+                    self.vocab.index2char(t) for t in tokens_all[i][: int(lengths[i])]
+                ]
+                src_tokens = [self.vocab.index2char(int(t)) for t in r.src]
+                restored = restore_marked_input(src_tokens, generated)
+                last = attempt == retries
+                if last or self._spans_close(restored, r):
+                    settled[i] = (restored, generated, int(steps))
+                    live[i] = 0
+            if not np.any(live):
+                break
+            rng_try = jax.random.fold_in(rng_try, attempt + 1)
 
         results: List[Optional[InfillResult]] = []
-        # single host transfer: over a remote/tunnelled backend every
-        # device->host fetch pays a full round trip
-        tokens_all, lengths, steps = jax.device_get(
-            (out.tokens, out.lengths, out.steps)
-        )
         for i, r in enumerate(requests):
             if i in overflow:
                 # more masked spans than the decoder's static budget; the
                 # caller should mask fewer bars/tracks per request
                 results.append(None)
                 continue
-            generated = [self.vocab.index2char(t) for t in tokens_all[i][: int(lengths[i])]]
-            src_tokens = [self.vocab.index2char(int(t)) for t in r.src]
-            restored = restore_marked_input(src_tokens, generated)
+            if i not in settled:  # n_spans was 0 from the start
+                settled[i] = (
+                    [self.vocab.index2char(int(t)) for t in r.src], [], 0
+                )
+            restored, generated, steps_i = settled[i]
             if fix_durations and self.vocab.mode == 0:
                 # REMI (mode 1) has explicit onsets; bar-sum repair is a
                 # SMER-only concern
@@ -432,10 +466,35 @@ class InfillEngine:
                     generated=generated,
                     mask_tracks=r.mask_tracks,
                     mask_bars=r.mask_bars,
-                    decode_steps=int(steps),
+                    decode_steps=steps_i,
                 )
             )
         return results
+
+    def _spans_close(self, events: List[str], req: "PreparedRequest") -> bool:
+        """True when every regenerated (bar, track) body already sums to the
+        bar duration exactly (no forced rewrite would be needed)."""
+        try:
+            _, _, bars = bar_with_track_positions(events)
+        except (IndexError, ValueError):
+            return False
+        for bar_num, track_pos in zip(req.mask_bars, req.mask_tracks):
+            if bar_num >= len(bars) or track_pos >= len(bars[bar_num]):
+                return False
+            track_start, track_end = bars[bar_num][track_pos]
+            tensile_end = (
+                1
+                if events[track_end - 1] in self.vocab.name_to_tokens.get("tensile", [])
+                else 0
+            )
+            body = events[
+                track_start + TOTAL_TRACK_CONTROL_TYPES
+                : track_end - TOTAL_TRACK_CONTROL_TYPES - tensile_end
+            ]
+            ok, _ = check_track_total_time(body, req.table)
+            if not ok:
+                return False
+        return True
 
     def __call__(
         self,

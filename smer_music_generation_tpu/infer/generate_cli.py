@@ -82,6 +82,8 @@ def main(argv=None) -> int:
         model, params, vocab, nucleus_p=None if args.greedy else args.p,
         temperature=args.temperature, greedy=args.greedy,
         max_tgt_len=args.max_tgt,
+        # with random weights the bar-closure retry loop always exhausts
+        max_time_fix_attempts=10 if args.checkpoint else 0,
     )
     gen = engine(
         events, args.tracks, args.bars, jax.random.PRNGKey(args.seed),

@@ -180,7 +180,8 @@ def tiny_engine(vocab):
     tgt = jnp.ones((1, 8), dtype=jnp.int32)
     params = model.init({"params": jax.random.PRNGKey(0)}, src, tgt)
     return InfillEngine(
-        model, params, vocab, nucleus_p=0.9, temperature=1.0, max_tgt_len=512
+        model, params, vocab, nucleus_p=0.9, temperature=1.0, max_tgt_len=512,
+        max_time_fix_attempts=1,  # random weights: retries would exhaust
     )
 
 
@@ -499,3 +500,20 @@ def test_run_batch_rejects_span_overflow_and_pads_tail(vocab, mode2_events, tiny
         tiny_engine.decoder.interpret = False
     assert len(results) == 9
     assert all(r is not None for r in results)
+
+
+def test_spans_close_detection(vocab, mode2_events, tiny_engine):
+    """_spans_close: exact-closing regenerated bodies pass; non-closing
+    bodies trigger the regeneration path."""
+    events, _ = mode2_events
+    req = tiny_engine.prepare(events, [0], [1])
+    # untouched source: bodies close by construction
+    src_tokens = [vocab.index2char(int(t)) for t in req.src]
+    closing = list(events)
+    assert tiny_engine._spans_close(closing, req)
+    # corrupt the masked bar's body to overflow its duration
+    from smer_music_generation_tpu.codec.structure import bar_with_track_positions
+    _, _, bars = bar_with_track_positions(closing)
+    ts, te = bars[1][0]
+    broken = closing[: ts + 3] + ["p_60", "whole", "p_62", "whole"] + closing[te - 3 :]
+    assert not tiny_engine._spans_close(broken, req)
