@@ -73,8 +73,10 @@ def bench_single(vocab, model, params):
     bars = list(range(8))
     engine(events, [0], bars, jax.random.PRNGKey(1))  # warmup/compile
 
+    # 9 reps / median: at ~50 ms of device time per session the tunnel's
+    # host-round-trip jitter is a large fraction of the wall time
     lat, toks = [], []
-    for i in range(5):
+    for i in range(9):
         t0 = time.perf_counter()
         res = engine(events, [0], bars, jax.random.PRNGKey(2 + i))
         lat.append(time.perf_counter() - t0)
@@ -90,7 +92,7 @@ def bench_single(vocab, model, params):
         fwd(params, src, tgt).block_until_ready()
     base_tok_s = 16 / (time.perf_counter() - t0)
 
-    tok_s = float(np.mean([t / l for t, l in zip(toks, lat)]))
+    tok_s = float(np.median([t / l for t, l in zip(toks, lat)]))
     return {
         "metric": "infill_tokens_per_sec_per_chip",
         "value": round(tok_s, 2),

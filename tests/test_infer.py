@@ -517,3 +517,50 @@ def test_spans_close_detection(vocab, mode2_events, tiny_engine):
     ts, te = bars[1][0]
     broken = closing[: ts + 3] + ["p_60", "whole", "p_62", "whole"] + closing[te - 3 :]
     assert not tiny_engine._spans_close(broken, req)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_decode_grammar_legal_under_many_seeds(vocab, seed):
+    """Fuzz: every sampled token stream obeys the grammar (no banned
+    classes, control spans emit exactly their family) across seeds."""
+    from smer_music_generation_tpu.infer.decode import InfillDecoder, pad_to_bucket
+    from smer_music_generation_tpu.models.transformer import ModelConfig, ScoreTransformer
+
+    cfg = ModelConfig(
+        vocab_size=vocab.vocab_size, d_model=32, nhead=4, num_encoder_layers=1,
+        num_decoder_layers=1, d_ff=64, max_len=2048, dropout=0.0, pos_dropout=0.0,
+    )
+    model = ScoreTransformer(cfg)
+    params = model.init({"params": jax.random.PRNGKey(seed)},
+                        jnp.ones((1, 8), jnp.int32), jnp.ones((1, 8), jnp.int32))
+    src_tokens = ["4/4", "t_3", "k_0", "d_2", "o_2", "y_2", "i_0",
+                  "bar", "s_2", "track_0", "d_2", "o_2", "y_2", "m_0",
+                  "m_0", "m_0", "m_0", "m_0"]
+    src = np.array([[vocab.char2index(t) for t in src_tokens]], np.int32)
+    src = pad_to_bucket(src, bucket=256)
+    span_types = np.zeros((1, 256), np.int32)
+    span_types[0, :5] = [0, 1, 2, 3, 4]  # body + d/o/y + tensile
+    n_spans = np.asarray([5], np.int32)
+
+    dec = InfillDecoder(model, vocab, max_tgt_len=256, nucleus_p=0.9, fused=False)
+    r = dec(params, src, span_types, n_spans, False, jax.random.PRNGKey(100 + seed))
+    toks = [vocab.index2char(int(x))
+            for x in np.asarray(r.tokens)[0, : int(r.lengths[0])]]
+
+    t = GrammarTables.build(vocab)
+    banned = np.asarray(t.always_banned).copy()
+    banned[vocab.mask_index] = False  # span introducers are expected
+    spans, cur = [], None
+    for tk in toks:
+        if tk == "m_0":
+            cur = []
+            spans.append(cur)
+        else:
+            assert cur is not None
+            assert not banned[vocab.char2index(tk)], tk
+            cur.append(tk)
+    assert len(spans) == 5
+    assert spans[1] and spans[1][0].startswith("d_") and len(spans[1]) == 1
+    assert spans[2] and spans[2][0].startswith("o_") and len(spans[2]) == 1
+    assert spans[3] and spans[3][0].startswith("y_") and len(spans[3]) == 1
+    assert spans[4] and spans[4][0].startswith("s_") and len(spans[4]) == 1
