@@ -118,6 +118,9 @@ def make_handler(ctx: ServingContext):
                     self._send(200, ctx.handle_generate(payload))
                 else:
                     self._send(404, {"error": "not found"})
+            except (KeyError, IndexError, TypeError, ValueError) as e:
+                # malformed/incomplete payloads are client errors
+                self._send(400, {"error": f"bad request: {type(e).__name__}: {e}"})
             except Exception as e:  # serving robustness: report, don't die
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
