@@ -71,6 +71,7 @@ class Trainer:
             max_len=cfg.max_seq,
             dropout=cfg.dropout,
             dtype=dtype,
+            flash_training=cfg.flash_training,
         )
         self.tables = build_loss_tables(self.vocab)
         self.mesh = make_mesh(cfg.n_devices or None, tp=cfg.tp)

@@ -40,6 +40,9 @@ class ExperimentConfig:
     d_ff: int = 2048
     max_seq: int = 2400
     dropout: float = 0.1
+    # fused flash attention with VJP for the train step (off by default:
+    # measured slower than XLA at the flagship shape; see models/transformer)
+    flash_training: bool = False
 
     # optimisation
     lr: float = 1e-4
@@ -102,6 +105,7 @@ class ExperimentConfig:
         parser.add_argument("--d_model", type=int, default=defaults.d_model)
         parser.add_argument("--nhead", type=int, default=defaults.nhead)
         parser.add_argument("--num_layers", type=int, default=defaults.num_layers)
+        parser.add_argument("--flash_training", action="store_true")
         parser.add_argument("--batch_size", type=int, default=defaults.batch_size)
         parser.add_argument("--tp", type=int, default=defaults.tp)
         parser.add_argument("--no_bf16", action="store_true")
@@ -123,6 +127,7 @@ class ExperimentConfig:
             d_model=args.d_model,
             nhead=args.nhead,
             num_layers=args.num_layers,
+            flash_training=args.flash_training,
             batch_size=args.batch_size,
             tp=args.tp,
             bf16=not args.no_bf16,
