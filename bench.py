@@ -59,7 +59,7 @@ def serving_events(vocab):
     return change_controls(events, controls, vocab)
 
 
-def bench_single(vocab, model, params):
+def bench_single(vocab, model, params, quant="none"):
     import jax
     import jax.numpy as jnp
 
@@ -69,7 +69,7 @@ def bench_single(vocab, model, params):
     # random weights rarely close bars, so the duration-repair retry loop
     # would always exhaust; disable it to measure the single-decode path
     engine = InfillEngine(model, params, vocab, nucleus_p=0.9, max_tgt_len=1024,
-                          max_time_fix_attempts=0)
+                          max_time_fix_attempts=0, quant=quant)
     bars = list(range(8))
     engine(events, [0], bars, jax.random.PRNGKey(1))  # warmup/compile
 
@@ -103,7 +103,7 @@ def bench_single(vocab, model, params):
     }
 
 
-def bench_batched(vocab, model, params, batch=16, group=8):
+def bench_batched(vocab, model, params, batch=16, group=8, quant="none"):
     """Config 5: many infill sessions decoded as sequential fused groups.
 
     The fused kernel's aggregate throughput peaks around B=8 (the weight
@@ -118,7 +118,8 @@ def bench_batched(vocab, model, params, batch=16, group=8):
     events = serving_events(vocab)
     res = mask_bar_and_track(events, vocab, [0], list(range(8)))
     src, span_codes, _, _ = res
-    decoder = InfillDecoder(model, vocab, max_tgt_len=1024, nucleus_p=0.9)
+    decoder = InfillDecoder(model, vocab, max_tgt_len=1024, nucleus_p=0.9,
+                            quant=quant)
     src_b = np.repeat(pad_to_bucket(src[None, :]), group, axis=0)
     span_types = np.zeros((group, decoder.max_spans), dtype=np.int32)
     span_types[:, : len(span_codes)] = span_codes
@@ -127,14 +128,17 @@ def bench_batched(vocab, model, params, batch=16, group=8):
     assert batch % group == 0, "bench batch must be a multiple of group"
 
     def run_all(seed):
-        total = 0
-        for g in range(batch // group):
-            out = decoder(
+        # dispatch every group's decode before the first blocking fetch —
+        # the device pipelines group k+1 while the host fetches group k
+        # (mirrors InfillEngine.run_batch)
+        outs = [
+            decoder(
                 params, src_b, span_types, n_spans, False,
                 jax.random.PRNGKey(seed * 31 + g),
             )
-            total += int(np.sum(jax.device_get(out.lengths)))
-        return total
+            for g in range(batch // group)
+        ]
+        return sum(int(np.sum(jax.device_get(o.lengths))) for o in outs)
 
     run_all(0)  # warmup/compile
     lat, total_toks = [], []
@@ -215,6 +219,11 @@ def bench_dataset_build(n_files=24):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--all", action="store_true")
+    parser.add_argument(
+        "--quant", default="none", choices=["none", "int8"],
+        help="decode-path weight quantization (int8 halves the per-token "
+             "HBM weight stream)",
+    )
     args = parser.parse_args()
 
     _enable_compile_cache()
@@ -222,12 +231,13 @@ def main():
     # not leftover host contention from the device benchmarks
     build = bench_dataset_build() if args.all else None
     vocab, model, params = build_flagship()
-    headline = bench_single(vocab, model, params)
+    headline = bench_single(vocab, model, params, quant=args.quant)
 
     if args.all:
         details = {
             "single": headline,
-            "batched_16": bench_batched(vocab, model, params, batch=16),
+            "batched_16": bench_batched(vocab, model, params, batch=16,
+                                        quant=args.quant),
             "train_step": bench_train_step(vocab, model, params),
             "dataset_build": build,
         }

@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--cache-len", type=int, default=1024)
     ap.add_argument("--src-len", type=int, default=1024)
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--quant", default="none", choices=["none", "int8"])
+    ap.add_argument("--full-only", action="store_true",
+                    help="skip the floor/step/sample isolation loops")
     args = ap.parse_args()
     N, L, S, B = args.iters, args.cache_len, args.src_len, args.batch
 
@@ -74,6 +77,10 @@ def main():
 
     src = jnp.ones((B, S), jnp.int32)
     src_pad = src == 0
+
+    if args.full_only:
+        _full_decode(args, model, vocab, params, src, L, B)
+        return
 
     # ---- matmul floor: stream every decode-path weight once per iter ----
     p = params["params"]
@@ -156,7 +163,14 @@ def main():
     print(f"sample_only  : {t / N * 1e6:8.1f} us/tok")
 
     # ---- full production decode ----
-    decoder = InfillDecoder(model, vocab, max_tgt_len=L, nucleus_p=0.9)
+    _full_decode(args, model, vocab, params, src, L, B)
+
+
+def _full_decode(args, model, vocab, params, src, L, B):
+    from smer_music_generation_tpu.infer.decode import InfillDecoder
+
+    decoder = InfillDecoder(model, vocab, max_tgt_len=L, nucleus_p=0.9,
+                            quant=args.quant)
     span_types = np.zeros((B, decoder.max_spans), np.int32)
     n_spans = np.full((B,), 64, np.int32)
 
@@ -172,7 +186,7 @@ def main():
         jax.block_until_ready(out.tokens)
         best = min(best, time.perf_counter() - t0)
     steps = int(out.steps)
-    print(f"full_decode  : {best / steps * 1e6:8.1f} us/tok  ({steps} steps)")
+    print(f"full_decode  : {best / steps * 1e6:8.1f} us/tok  ({steps} steps, quant={args.quant})")
 
 
 if __name__ == "__main__":

@@ -302,6 +302,7 @@ class InfillEngine:
         greedy: bool = False,
         max_tgt_len: int = 1024,
         max_time_fix_attempts: int = 10,
+        quant: str = "none",
     ):
         self.model = model
         self.params = params
@@ -314,6 +315,7 @@ class InfillEngine:
             nucleus_p=nucleus_p,
             temperature=temperature,
             greedy=greedy,
+            quant=quant,
         )
 
     def prepare(
@@ -364,10 +366,13 @@ class InfillEngine:
         B = len(requests)
         if B == 0:
             return []
-        # Large batches run as sequential fused-kernel groups of 8: the
-        # kernel's aggregate throughput at B=8 is ~3x the XLA batched path
-        # at B=16 (see infer/decode.py B gate), so chunking wins on both
-        # throughput and per-request latency.
+        # Large batches run as fused-kernel groups of 8: the kernel's
+        # aggregate throughput at B=8 is ~3x the XLA batched path at B=16
+        # (see infer/decode.py B gate), so chunking wins on both throughput
+        # and per-request latency.  All groups' first decodes are DISPATCHED
+        # before the first (blocking, round-trip-priced) device_get — jax
+        # dispatch is asynchronous, so the device pipelines group k+1 while
+        # the host is fetching/restoring group k.
         group = 8
         if B > group and self.decoder.fused:
             # pad the tail group to the full group size with done-at-start
@@ -376,17 +381,35 @@ class InfillEngine:
             padded = list(requests)
             while len(padded) % group:
                 padded.append(replace(requests[-1], span_codes=[]))
-            results: List[Optional[InfillResult]] = []
+            pending = []
             for i in range(0, len(padded), group):
+                grp = padded[i : i + group]
+                rng_g = jax.random.fold_in(rng, i)
+                asm = self._assemble(grp)
+                out = self.decoder(
+                    self.params, asm[0], asm[1], asm[2], asm[3], rng_g
+                )
+                pending.append((grp, rng_g, asm, out))
+            results: List[Optional[InfillResult]] = []
+            for grp, rng_g, asm, out in pending:
                 results.extend(
-                    self.run_batch(
-                        padded[i : i + group],
-                        jax.random.fold_in(rng, i),
+                    self._finish_group(
+                        grp, rng_g, asm, out,
                         fix_durations=fix_durations,
                         correct_controls=correct_controls,
                     )
                 )
             return results[:B]
+        asm = self._assemble(requests)
+        out = self.decoder(self.params, asm[0], asm[1], asm[2], asm[3], rng)
+        return self._finish_group(
+            requests, rng, asm, out,
+            fix_durations=fix_durations, correct_controls=correct_controls,
+        )
+
+    def _assemble(self, requests: Sequence["PreparedRequest"]):
+        """Pack requests into device-ready batch arrays."""
+        B = len(requests)
         max_spans = self.decoder.max_spans
         max_src = max(len(r.src) for r in requests)
         src_b = np.zeros((B, max_src), dtype=np.int32)
@@ -402,6 +425,18 @@ class InfillEngine:
             n_spans[i] = len(r.span_codes)
             no_whole[i] = r.no_whole_duration
         src_b = pad_to_bucket(src_b)
+        return src_b, span_types, n_spans, no_whole, overflow
+
+    def _finish_group(
+        self,
+        requests: Sequence["PreparedRequest"],
+        rng,
+        asm,
+        out0,
+        fix_durations: bool,
+        correct_controls: bool,
+    ) -> List[Optional[InfillResult]]:
+        src_b, span_types, n_spans, no_whole, overflow = asm
 
         # Host-driven regeneration loop around the jitted decode (reference
         # ``evaluation.py:1300-1397``): elements whose generated bars do not
@@ -420,7 +455,15 @@ class InfillEngine:
         settled: Dict[int, Tuple[List[str], List[str], int]] = {}
         rng_try = rng
         for attempt in range(1 + retries):
-            out = self.decoder(self.params, src_b, span_types, live, no_whole, rng_try)
+            # attempt 0 was dispatched by run_batch (possibly pipelined
+            # behind other groups); retries re-decode only live elements
+            out = (
+                out0
+                if attempt == 0
+                else self.decoder(
+                    self.params, src_b, span_types, live, no_whole, rng_try
+                )
+            )
             # single host transfer: over a remote/tunnelled backend every
             # device->host fetch pays a full round trip
             tokens_all, lengths, steps = jax.device_get(

@@ -47,7 +47,25 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def pack_decoder_weights(params: Any, cfg, vpad: int) -> Dict[str, jax.Array]:
+def quantize_columns(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric per-output-column int8 quantization.
+
+    ``w`` is (..., rows, cols); each column (an output feature) gets one
+    f32 scale.  Because scales are per *output* column, they commute with
+    the matmul: ``x @ dequant(q, s) == (x @ q) * s`` — the kernel applies
+    them as a (cols,) multiply on the activation, so the int8 blocks are
+    cast to the compute dtype (exact: |q| <= 127) and never rescaled
+    element-wise.
+    """
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-2, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def pack_decoder_weights(
+    params: Any, cfg, vpad: int, quant: str = "none"
+) -> Dict[str, jax.Array]:
     """Stack per-layer decoder weights into layer-major packed arrays.
 
     Cheap (one device copy); do it inside the decode jit so it is hoisted
@@ -59,9 +77,18 @@ def pack_decoder_weights(params: Any, cfg, vpad: int) -> Dict[str, jax.Array]:
       ln    (nl, 6, D) f32: norm{1,2,3} x {scale, bias}
       w_ff1 (nl, D, F), w_ff2 (nl, F, D)
       fc_w  (D, vpad) f32, fc_b (vpad,) f32 — padded slots biased to -1e9
+
+    ``quant="int8"`` stores w_attn / w_ff1 / w_ff2 as symmetric
+    per-output-column int8 (``quantize_columns``) plus one f32 scale strip
+      scale (nl, 1, 7D + F): [s_attn (6D) | s_ff1 (F) | s_ff2 (D)]
+    halving the per-token HBM weight stream — the dominant B=1 decode cost.
     """
     p = params["params"] if "params" in params else params
     dt = cfg.dtype
+    if quant not in ("none", "int8"):
+        raise ValueError(f"unknown quant mode {quant!r}")
+    # quantize from full-precision masters, not the compute dtype
+    wdt = jnp.float32 if quant == "int8" else dt
     L = cfg.num_decoder_layers
 
     def stack(path_fn, dtype):
@@ -74,7 +101,7 @@ def pack_decoder_weights(params: Any, cfg, vpad: int) -> Dict[str, jax.Array]:
                 + [lp["cross_attn"]["q"]["kernel"], lp["cross_attn"]["out"]["kernel"]],
                 axis=1,
             ),
-            dt,
+            wdt,
         ),
         "bias": stack(
             lambda lp: jnp.concatenate(
@@ -98,9 +125,15 @@ def pack_decoder_weights(params: Any, cfg, vpad: int) -> Dict[str, jax.Array]:
             ),
             jnp.float32,
         ),
-        "w_ff1": stack(lambda lp: lp["ff"]["fc1"]["kernel"], dt),
-        "w_ff2": stack(lambda lp: lp["ff"]["fc2"]["kernel"], dt),
+        "w_ff1": stack(lambda lp: lp["ff"]["fc1"]["kernel"], wdt),
+        "w_ff2": stack(lambda lp: lp["ff"]["fc2"]["kernel"], wdt),
     }
+    if quant == "int8":
+        qa, sa = quantize_columns(packed["w_attn"])
+        q1, s1 = quantize_columns(packed["w_ff1"])
+        q2, s2 = quantize_columns(packed["w_ff2"])
+        packed["w_attn"], packed["w_ff1"], packed["w_ff2"] = qa, q1, q2
+        packed["scale"] = jnp.concatenate([sa, s1, s2], axis=-1)
     V = p["fc"]["kernel"].shape[1]
     fc_w = p["fc"]["kernel"].astype(jnp.float32)
     fc_b = p["fc"]["bias"].astype(jnp.float32)
@@ -234,16 +267,39 @@ def _layer_body(
     x, i, scalars, w_attn, bias, ln, w_ff1, w_ff2,
     self_kv, cross_kv, newkv_ref, kvbuf, sems,
     *, B: int, D: int, H: int, L: int, S: int, F: int,
+    scale=None,
 ):
     """One decoder layer on the (B, D) f32 activation (shared by the v2
-    step kernel and the v3 whole-token kernel)."""
+    step kernel and the v3 whole-token kernel).
+
+    ``scale`` (a (1, 1, 7D+F) f32 ref) marks the int8-quantized path: the
+    weight blocks are int8, cast (exactly) to the compute dtype for the
+    MXU, and each matmul's per-output-column scales are applied to the
+    (B, cols) *result* — O(B*cols) multiplies instead of O(D*cols).
+    """
     HD = D // H
     index = scalars[0]
-    dt = w_attn.dtype
+    quant = scale is not None
+    # compute dtype: the KV-cache dtype (== model compute dtype); for the
+    # unquantized path this equals the packed weight dtype
+    dt = newkv_ref.dtype if quant else w_attn.dtype
+
+    def wblock(ref, col_lo, col_hi):
+        w = ref[0][:, col_lo:col_hi]
+        return w.astype(dt) if quant else w
+
+    s_all = scale[0, 0] if quant else None
+
+    def rescale(acc, base, lo, hi):
+        return acc * s_all[base + lo : base + hi] if quant else acc
+
     b_all = bias[0, 0]  # (7D + F,) f32
 
     qkv = (
-        jnp.dot(x.astype(dt), w_attn[0][:, : 3 * D], preferred_element_type=jnp.float32)
+        rescale(
+            jnp.dot(x.astype(dt), wblock(w_attn, 0, 3 * D), preferred_element_type=jnp.float32),
+            0, 0, 3 * D,
+        )
         + b_all[: 3 * D]
     )  # (B, 3D)
     q = qkv[:, :D]
@@ -265,13 +321,19 @@ def _layer_body(
         )
     att = jnp.concatenate(att_rows, axis=0)  # (B, D) f32
     o = (
-        jnp.dot(att.astype(dt), w_attn[0][:, 3 * D : 4 * D], preferred_element_type=jnp.float32)
+        rescale(
+            jnp.dot(att.astype(dt), wblock(w_attn, 3 * D, 4 * D), preferred_element_type=jnp.float32),
+            0, 3 * D, 4 * D,
+        )
         + b_all[3 * D : 4 * D]
     )
     x = _layernorm(x + o, ln[0, 0], ln[0, 1])
 
     qc = (
-        jnp.dot(x.astype(dt), w_attn[0][:, 4 * D : 5 * D], preferred_element_type=jnp.float32)
+        rescale(
+            jnp.dot(x.astype(dt), wblock(w_attn, 4 * D, 5 * D), preferred_element_type=jnp.float32),
+            0, 4 * D, 5 * D,
+        )
         + b_all[4 * D : 5 * D]
     )
     att_rows = []
@@ -287,18 +349,27 @@ def _layer_body(
         )
     att = jnp.concatenate(att_rows, axis=0)
     o = (
-        jnp.dot(att.astype(dt), w_attn[0][:, 5 * D : 6 * D], preferred_element_type=jnp.float32)
+        rescale(
+            jnp.dot(att.astype(dt), wblock(w_attn, 5 * D, 6 * D), preferred_element_type=jnp.float32),
+            0, 5 * D, 6 * D,
+        )
         + b_all[5 * D : 6 * D]
     )
     x = _layernorm(x + o, ln[0, 2], ln[0, 3])
 
     h = (
-        jnp.dot(x.astype(dt), w_ff1[0], preferred_element_type=jnp.float32)
+        rescale(
+            jnp.dot(x.astype(dt), wblock(w_ff1, 0, F), preferred_element_type=jnp.float32),
+            6 * D, 0, F,
+        )
         + b_all[6 * D : 6 * D + F]
     )
     h = jnp.maximum(h, 0.0)
     y = (
-        jnp.dot(h.astype(dt), w_ff2[0], preferred_element_type=jnp.float32)
+        rescale(
+            jnp.dot(h.astype(dt), wblock(w_ff2, 0, D), preferred_element_type=jnp.float32),
+            6 * D + F, 0, D,
+        )
         + b_all[6 * D + F : 6 * D + F + D]
     )
     return _layernorm(x + y, ln[0, 4], ln[0, 5])
@@ -310,12 +381,17 @@ def _kernel(
     x_ref, w_attn, bias, ln, w_ff1, w_ff2, fc_w, fc_b,
     # HBM caches (interleaved K|V lanes)
     self_kv, cross_kv,
-    # outputs
-    logits_ref, newkv_ref,
-    # scratch
-    x_s, kvbuf, sems,
-    *, B: int, D: int, H: int, L: int, S: int, F: int, n_layers: int,
+    # quant=True inserts the pipelined scale strip here, then
+    # outputs (logits, newkv) and scratch (x_s, kvbuf, sems)
+    *rest,
+    B: int, D: int, H: int, L: int, S: int, F: int, n_layers: int,
+    quant: bool = False,
 ):
+    if quant:
+        scale, logits_ref, newkv_ref, x_s, kvbuf, sems = rest
+    else:
+        scale = None
+        logits_ref, newkv_ref, x_s, kvbuf, sems = rest
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -325,7 +401,7 @@ def _kernel(
     x = _layer_body(
         x_s[:], i, scalars, w_attn, bias, ln, w_ff1, w_ff2,
         self_kv, cross_kv, newkv_ref, kvbuf, sems,
-        B=B, D=D, H=H, L=L, S=S, F=F,
+        B=B, D=D, H=H, L=L, S=S, F=F, scale=scale,
     )
     x_s[:] = x
 
@@ -361,6 +437,7 @@ def fused_decode_step(
     F = d_ff
     assert L % CHUNK == 0 and S % CHUNK == 0, (L, S)
     dt = self_kv.dtype
+    quant = "scale" in packed
 
     scalars = jnp.concatenate(
         [jnp.asarray(index, jnp.int32)[None], cross_len.astype(jnp.int32)]
@@ -373,21 +450,34 @@ def fused_decode_step(
             pipeline_mode=pl.Buffered(buffer_count=buffers),
         )
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # x_emb
+        layer_block((D, 6 * D)),  # w_attn
+        layer_block((1, 7 * D + F)),  # bias strip
+        layer_block((6, D)),  # ln
+        layer_block((D, F)),  # w_ff1
+        # int8 blocks are half-size: full double buffering fits VMEM
+        layer_block((F, D), buffers=2 if quant else 1),  # w_ff2
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # fc_w
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # fc_b
+        pl.BlockSpec(memory_space=pl.ANY),  # self_kv
+        pl.BlockSpec(memory_space=pl.ANY),  # cross_kv
+    ]
+    args = [
+        x_emb,
+        packed["w_attn"], packed["bias"], packed["ln"],
+        packed["w_ff1"], packed["w_ff2"],
+        packed["fc_w"], packed["fc_b"],
+        self_kv, cross_kv,
+    ]
+    if quant:
+        in_specs.append(layer_block((1, 7 * D + F)))  # scale strip
+        args.append(packed["scale"])
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_layers,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # x_emb
-            layer_block((D, 6 * D)),  # w_attn
-            layer_block((1, 7 * D + F)),  # bias strip
-            layer_block((6, D)),  # ln
-            layer_block((D, F)),  # w_ff1
-            layer_block((F, D), buffers=1),  # w_ff2 (single-buffered: VMEM limit)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # fc_w
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # fc_b
-            pl.BlockSpec(memory_space=pl.ANY),  # self_kv
-            pl.BlockSpec(memory_space=pl.ANY),  # cross_kv
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # logits
             pl.BlockSpec((1, B, 2 * D), lambda i, *_refs: (i, 0, 0)),  # new_kv
@@ -400,7 +490,8 @@ def fused_decode_step(
     )
 
     kernel = functools.partial(
-        _kernel, B=B, D=D, H=nhead, L=L, S=S, F=F, n_layers=n_layers
+        _kernel, B=B, D=D, H=nhead, L=L, S=S, F=F, n_layers=n_layers,
+        quant=quant,
     )
     logits, new_kv = pl.pallas_call(
         kernel,
@@ -410,14 +501,7 @@ def fused_decode_step(
             jax.ShapeDtypeStruct((n_layers, B, 2 * D), dt),
         ),
         interpret=interpret,
-    )(
-        scalars,
-        x_emb,
-        packed["w_attn"], packed["bias"], packed["ln"],
-        packed["w_ff1"], packed["w_ff2"],
-        packed["fc_w"], packed["fc_b"],
-        self_kv, cross_kv,
-    )
+    )(scalars, *args)
     return logits, new_kv
 
 
@@ -594,13 +678,19 @@ def _kernel_v3(
     scalars, state, aux, span_types, sid_tbl,  # scalar-prefetch (SMEM)
     emb, w_attn, bias, ln, w_ff1, w_ff2, fc_w, fc_b, masks_f, class_mat,
     noise, self_kv, cross_kv,  # noise + caches in HBM
-    state_out, newkv_ref,  # outputs
-    x_s, kvbuf, sems, gbuf, gsem,  # scratch
-    *, B: int, D: int, H: int, L: int, S: int, F: int, n_layers: int,
+    # quant=True inserts the pipelined scale strip here, then
+    # outputs (state_out, newkv) and scratch (x_s, kvbuf, sems, gbuf, gsem)
+    *rest,
+    B: int, D: int, H: int, L: int, S: int, F: int, n_layers: int,
     vpad: int, mode: int, max_spans: int, span_cap: int, eos_index: int,
     mask_index: int, nucleus_p, temperature: float, greedy: bool,
-    n_sid: int, span_body: int,
+    n_sid: int, span_body: int, quant: bool = False,
 ):
+    if quant:
+        scale, state_out, newkv_ref, x_s, kvbuf, sems, gbuf, gsem = rest
+    else:
+        scale = None
+        state_out, newkv_ref, x_s, kvbuf, sems, gbuf, gsem = rest
     i = pl.program_id(0)
     index = scalars[0]
 
@@ -625,7 +715,7 @@ def _kernel_v3(
     x = _layer_body(
         x_s[:], i, scalars, w_attn, bias, ln, w_ff1, w_ff2,
         self_kv, cross_kv, newkv_ref, kvbuf, sems,
-        B=B, D=D, H=H, L=L, S=S, F=F,
+        B=B, D=D, H=H, L=L, S=S, F=F, scale=scale,
     )
     x_s[:] = x
 
@@ -680,6 +770,7 @@ def fused_decode_token(
     S = cross_kv.shape[2]
     D, F = d_model, d_ff
     dt = self_kv.dtype
+    quant = "scale" in packed
 
     scalars = jnp.concatenate(
         [jnp.asarray(index, jnp.int32)[None], cross_len.astype(jnp.int32)]
@@ -692,24 +783,29 @@ def fused_decode_token(
             pipeline_mode=pl.Buffered(buffer_count=buffers),
         )
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # emb
+        layer_block((D, 6 * D)),  # w_attn
+        layer_block((1, 7 * D + F)),  # bias strip
+        layer_block((6, D)),  # ln
+        layer_block((D, F)),  # w_ff1
+        # int8 blocks are half-size: full double buffering fits VMEM
+        layer_block((F, D), buffers=2 if quant else 1),  # w_ff2
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # fc_w
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # fc_b
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # masks_f
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # class_mat
+        pl.BlockSpec(memory_space=pl.ANY),  # noise
+        pl.BlockSpec(memory_space=pl.ANY),  # self_kv
+        pl.BlockSpec(memory_space=pl.ANY),  # cross_kv
+    ]
+    if quant:
+        in_specs.append(layer_block((1, 7 * D + F)))  # scale strip
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(n_layers,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # emb
-            layer_block((D, 6 * D)),  # w_attn
-            layer_block((1, 7 * D + F)),  # bias strip
-            layer_block((6, D)),  # ln
-            layer_block((D, F)),  # w_ff1
-            layer_block((F, D), buffers=1),  # w_ff2 (single-buffered: VMEM)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # fc_w
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # fc_b
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # masks_f
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # class_mat
-            pl.BlockSpec(memory_space=pl.ANY),  # noise
-            pl.BlockSpec(memory_space=pl.ANY),  # self_kv
-            pl.BlockSpec(memory_space=pl.ANY),  # cross_kv
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # state_out
             pl.BlockSpec((1, B, 2 * D), lambda i, *_refs: (i, 0, 0)),  # new_kv
@@ -728,17 +824,9 @@ def fused_decode_token(
         vpad=vpad, mode=mode, max_spans=max_spans, span_cap=span_cap,
         eos_index=eos_index, mask_index=mask_index, nucleus_p=nucleus_p,
         temperature=temperature, greedy=greedy, n_sid=n_sid,
-        span_body=span_body,
+        span_body=span_body, quant=quant,
     )
-    new_state, new_kv = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((6, B), jnp.int32),
-            jax.ShapeDtypeStruct((n_layers, B, 2 * D), dt),
-        ),
-        interpret=interpret,
-    )(
+    args = [
         scalars,
         state.astype(jnp.int32),
         aux.astype(jnp.int32),
@@ -751,5 +839,16 @@ def fused_decode_token(
         tables["state_masks_f"], tables["class_mat"],
         noise,
         self_kv, cross_kv,
-    )
+    ]
+    if quant:
+        args.append(packed["scale"])
+    new_state, new_kv = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((6, B), jnp.int32),
+            jax.ShapeDtypeStruct((n_layers, B, 2 * D), dt),
+        ),
+        interpret=interpret,
+    )(*args)
     return new_state, new_kv

@@ -259,3 +259,141 @@ def test_fused_sampling_loop_remi_greedy_matches_xla():
     assert int(r_fast.lengths[0]) == n
     assert np.array_equal(np.asarray(r_slow.tokens)[0, :n],
                           np.asarray(r_fast.tokens)[0, :n])
+
+
+# ---------------------------------------------------------------------------
+# int8 weight-streaming decode (quant="int8")
+# ---------------------------------------------------------------------------
+
+def _dequantized_params(params):
+    """Replace every decoder matmul kernel by its int8 quantize->dequantize
+    image (same per-column scheme as ``pack_decoder_weights(quant='int8')``,
+    which quantizes the column-concatenated blocks — per-column scales make
+    the two layouts identical)."""
+    from smer_music_generation_tpu.ops.decode_step import quantize_columns
+
+    def dq(w):
+        q, s = quantize_columns(jnp.asarray(w, jnp.float32))
+        return (q.astype(jnp.float32) * s).astype(np.asarray(w).dtype)
+
+    p = jax.tree_util.tree_map(lambda x: x, params)  # shallow-ish copy
+    import copy
+
+    p = copy.deepcopy(jax.device_get(params))
+    root = p["params"]
+    for name, lp in root.items():
+        if not name.startswith("decoder_"):
+            continue
+        for m in ("q", "k", "v", "out"):
+            lp["self_attn"][m]["kernel"] = dq(lp["self_attn"][m]["kernel"])
+        for m in ("q", "out"):
+            lp["cross_attn"][m]["kernel"] = dq(lp["cross_attn"][m]["kernel"])
+        for m in ("fc1", "fc2"):
+            lp["ff"][m]["kernel"] = dq(lp["ff"][m]["kernel"])
+    return jax.tree_util.tree_map(jnp.asarray, p)
+
+
+def test_fused_decode_step_int8_matches_dequantized_model():
+    """int8 kernel (interpret) == XLA decode_step running on the
+    dequantized weights: the only difference is accumulation order."""
+    from smer_music_generation_tpu.models.transformer import ScoreTransformer
+    from smer_music_generation_tpu.ops.decode_step import (
+        fused_decode_step,
+        pack_decoder_weights,
+        stack_kv_cache,
+        vocab_pad,
+    )
+
+    B, V, S, L, nl = 2, 309, 512, 512, 2
+    cfg, model, params, src = _decode_fixture(B, V, S, L, nl)
+    D = cfg.d_model
+    params_dq = _dequantized_params(params)
+
+    src_pad = np.zeros((B, S), bool)
+    src_pad[0, 400:] = True
+    src_pad = jnp.asarray(src_pad)
+    # encoder is NOT quantized: cross K/V come from the original params
+    memory = model.apply(params, src, src_pad, method=ScoreTransformer.encode)
+    # decoder cross projections belong to the quantized stack
+    cross = model.apply(params_dq, memory, method=ScoreTransformer.init_cross_cache)
+    cache = model.apply(params_dq, B, L, method=ScoreTransformer.init_self_cache)
+
+    cross_kv = stack_kv_cache(cross, nl)
+    cross_len = jnp.asarray([400, S], jnp.int32)
+    self_kv = jnp.zeros((nl, B, L, 2 * D), cfg.dtype)
+    packed = pack_decoder_weights(params, cfg, vocab_pad(V), quant="int8")
+    assert packed["w_attn"].dtype == jnp.int8
+    assert packed["scale"].shape == (nl, 1, 7 * D + cfg.d_ff)
+    pe = model.apply(params, method=lambda m: m.pos_table)
+    emb = params["params"]["embedding"]["embedding"]
+
+    toks = jax.random.randint(jax.random.PRNGKey(1), (3, B), 1, V)
+    for pos in range(3):
+        lg_ref, cache = model.apply(
+            params_dq, toks[pos], pos, cache, cross, src_pad,
+            method=ScoreTransformer.decode_step,
+        )
+        x = (emb[toks[pos]] * np.sqrt(D) + pe[pos]).astype(cfg.dtype)
+        lg, new_kv = fused_decode_step(
+            packed, x, self_kv, cross_kv, jnp.int32(pos), cross_len,
+            n_layers=nl, d_model=D, nhead=cfg.nhead, d_ff=cfg.d_ff,
+            vpad=vocab_pad(V), interpret=True,
+        )
+        self_kv = jax.lax.dynamic_update_slice(
+            self_kv, new_kv[:, :, None, :], (0, 0, pos, 0))
+        a = np.asarray(lg_ref)
+        b = np.asarray(lg)[:, :V]
+        np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-2)
+        assert (a.argmax(-1) == b.argmax(-1)).all(), pos
+
+
+def test_fused_int8_v2_v3_token_exact_greedy():
+    """Same int8 logits through the v2 step kernel (XLA sampling) and the
+    v3 whole-token kernel (in-kernel sampling) -> identical greedy streams,
+    and the stream stays grammar-legal."""
+    from smer_music_generation_tpu.infer.decode import InfillDecoder, pad_to_bucket
+    from smer_music_generation_tpu.infer.grammar import GrammarTables
+    from smer_music_generation_tpu.vocab import CONTROL_SETS, WordVocab
+
+    vocab = WordVocab(0, CONTROL_SETS[5])
+    cfg, model, params, _ = _decode_fixture(V=vocab.vocab_size, nl=2)
+
+    src_tokens = ["4/4", "t_3", "k_0", "d_2", "o_2", "y_2", "i_0",
+                  "bar", "s_2", "track_0", "d_2", "o_2", "y_2", "m_0",
+                  "m_0", "m_0", "m_0"]
+    src = np.array([[vocab.char2index(t) for t in src_tokens]], np.int32)
+    src = pad_to_bucket(src, bucket=512)
+    span_types = np.zeros((1, 160), np.int32)
+    span_types[0, :4] = [0, 1, 2, 3]
+    n_spans = np.asarray([4], np.int32)
+    rng = jax.random.PRNGKey(3)
+
+    kw = dict(max_tgt_len=512, nucleus_p=None, greedy=True, quant="int8",
+              fused=True, interpret=True)
+    v2 = InfillDecoder(model, vocab, fused_sampling=False, **kw)
+    v3 = InfillDecoder(model, vocab, fused_sampling=True, **kw)
+    r2 = v2(params, src, span_types, n_spans, False, rng)
+    r3 = v3(params, src, span_types, n_spans, False, rng)
+    n = int(r2.lengths[0])
+    assert int(r3.lengths[0]) == n
+    t2 = np.asarray(r2.tokens)[0, :n]
+    assert np.array_equal(t2, np.asarray(r3.tokens)[0, :n])
+
+    t = GrammarTables.build(vocab)
+    banned = np.asarray(t.always_banned)
+    for x in t2:
+        tok = vocab.index2char(int(x))
+        if tok != "m_0":
+            assert not banned[int(x)], tok
+
+
+def test_quant_requires_fused():
+    import pytest as _pytest
+
+    from smer_music_generation_tpu.infer.decode import InfillDecoder
+    from smer_music_generation_tpu.vocab import CONTROL_SETS, WordVocab
+
+    vocab = WordVocab(0, CONTROL_SETS[5])
+    cfg, model, params, _ = _decode_fixture(V=vocab.vocab_size, nl=2)
+    with _pytest.raises(ValueError):
+        InfillDecoder(model, vocab, fused=False, quant="int8")
