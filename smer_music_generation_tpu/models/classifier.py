@@ -36,6 +36,10 @@ class ClassifyTransformer(nn.Module):
         self.layers = [
             EncoderLayer(c, name=f"encoder_{i}") for i in range(c.num_encoder_layers)
         ]
+        if c.final_norm:
+            # reference Classifier builds its encoder with a final
+            # LayerNorm too (transformer.py:180)
+            self.norm_e = nn.LayerNorm(dtype=jnp.float32, name="norm_e")
         self.project = nn.Dense(self.hidden, kernel_init=_dense_init, dtype=jnp.float32)
         self.heads = [
             nn.Dense(self.n_classes, kernel_init=_dense_init, dtype=jnp.float32,
@@ -59,6 +63,8 @@ class ClassifyTransformer(nn.Module):
             attn_mask = (~src_pad_mask)[:, None, None, :]
         for layer in self.layers:
             x = layer(x, attn_mask, deterministic)
+        if c.final_norm:
+            x = self.norm_e(x)
         if src_pad_mask is not None:
             valid = (~src_pad_mask)[:, :, None].astype(x.dtype)
             pooled = (x * valid).sum(axis=1) / jnp.maximum(valid.sum(axis=1), 1)

@@ -45,6 +45,12 @@ class ModelConfig:
     dropout: float = 0.1
     pos_dropout: float = 0.1
     dtype: Any = jnp.float32
+    # Final LayerNorm after the encoder and decoder stacks, as in the
+    # reference's torch.nn.Transformer fork (``transformer.py:54-61``
+    # constructs encoder_norm/decoder_norm; applied at ``:274-275`` and
+    # ``:329-330``).  On by default for architectural parity — the trained
+    # reference checkpoints have these weights.
+    final_norm: bool = True
     # Route encoder self-attention through the pallas flash kernel
     # (ops/attention.py) on deterministic passes.  Requires suffix padding
     # (the framework's collate/bucketing guarantees it).
@@ -291,6 +297,9 @@ class ScoreTransformer(nn.Module):
         self.fc = nn.Dense(
             c.vocab_size, kernel_init=_dense_init, dtype=jnp.float32, name="fc"
         )
+        if c.final_norm:
+            self.norm_e = nn.LayerNorm(dtype=jnp.float32, name="norm_e")
+            self.norm_d = nn.LayerNorm(dtype=jnp.float32, name="norm_d")
 
     # ------------------------------------------------------------------
     def embed(self, tokens: Array, offset: int = 0, deterministic: bool = True) -> Array:
@@ -321,6 +330,8 @@ class ScoreTransformer(nn.Module):
         for layer in self.encoder_layers:
             x = layer(x, attn_mask, deterministic, kv_valid_len=kv_valid_len,
                       kv_valid=kv_valid)
+        if self.cfg.final_norm:
+            x = self.norm_e(x)
         return x
 
     def decode(
@@ -353,6 +364,8 @@ class ScoreTransformer(nn.Module):
                     x, memory, None, None, deterministic,
                     tgt_valid=tgt_valid, mem_valid=mem_valid,
                 )
+            if self.cfg.final_norm:
+                x = self.norm_d(x)
             logits = self.fc(x.astype(jnp.float32))
             return logits, None  # cross-attn weights unavailable on this path
         causal = jnp.tril(jnp.ones((T, T), dtype=bool))[None, None, :, :]
@@ -367,6 +380,8 @@ class ScoreTransformer(nn.Module):
         for layer in self.decoder_layers:
             x, w = layer(x, memory, self_mask, cross_mask, deterministic)
             all_weights.append(w)
+        if self.cfg.final_norm:
+            x = self.norm_d(x)
         logits = self.fc(x.astype(jnp.float32))
         return logits, jnp.stack(all_weights, axis=1)  # (B, L, T, S)
 
@@ -435,6 +450,8 @@ class ScoreTransformer(nn.Module):
             new_cache[key] = (k_cache, v_cache)
             ck, cv = cross_cache[key]
             x, _ = layer.decode_step(x, k_cache, v_cache, self_mask, ck, cv, cross_mask)
+        if self.cfg.final_norm:
+            x = self.norm_d(x)
         logits = self.fc(x.astype(jnp.float32))
         return logits[:, 0, :], new_cache
 

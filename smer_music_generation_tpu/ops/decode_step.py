@@ -134,6 +134,12 @@ def pack_decoder_weights(
         q2, s2 = quantize_columns(packed["w_ff2"])
         packed["w_attn"], packed["w_ff1"], packed["w_ff2"] = qa, q1, q2
         packed["scale"] = jnp.concatenate([sa, s1, s2], axis=-1)
+    if "norm_d" in p:
+        # final decoder LayerNorm before the output projection
+        # (ModelConfig.final_norm; reference transformer.py:61,329-330)
+        packed["fin_ln"] = jnp.stack(
+            [p["norm_d"]["scale"], p["norm_d"]["bias"]]
+        ).astype(jnp.float32)
     V = p["fc"]["kernel"].shape[1]
     fc_w = p["fc"]["kernel"].astype(jnp.float32)
     fc_b = p["fc"]["bias"].astype(jnp.float32)
@@ -381,17 +387,17 @@ def _kernel(
     x_ref, w_attn, bias, ln, w_ff1, w_ff2, fc_w, fc_b,
     # HBM caches (interleaved K|V lanes)
     self_kv, cross_kv,
-    # quant=True inserts the pipelined scale strip here, then
-    # outputs (logits, newkv) and scratch (x_s, kvbuf, sems)
+    # optional inputs follow in order: scale strip (quant=True), final
+    # decoder layernorm (fin=True); then outputs (logits, newkv) and
+    # scratch (x_s, kvbuf, sems)
     *rest,
     B: int, D: int, H: int, L: int, S: int, F: int, n_layers: int,
-    quant: bool = False,
+    quant: bool = False, fin: bool = False,
 ):
-    if quant:
-        scale, logits_ref, newkv_ref, x_s, kvbuf, sems = rest
-    else:
-        scale = None
-        logits_ref, newkv_ref, x_s, kvbuf, sems = rest
+    rest = list(rest)
+    scale = rest.pop(0) if quant else None
+    fin_ln = rest.pop(0) if fin else None
+    logits_ref, newkv_ref, x_s, kvbuf, sems = rest
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -407,7 +413,8 @@ def _kernel(
 
     @pl.when(i == n_layers - 1)
     def _():
-        logits_ref[:] = jnp.dot(x, fc_w[:], preferred_element_type=jnp.float32) + fc_b[:]
+        y = _layernorm(x, fin_ln[0], fin_ln[1]) if fin else x
+        logits_ref[:] = jnp.dot(y, fc_w[:], preferred_element_type=jnp.float32) + fc_b[:]
 
 
 @functools.partial(
@@ -438,6 +445,7 @@ def fused_decode_step(
     assert L % CHUNK == 0 and S % CHUNK == 0, (L, S)
     dt = self_kv.dtype
     quant = "scale" in packed
+    fin = "fin_ln" in packed
 
     scalars = jnp.concatenate(
         [jnp.asarray(index, jnp.int32)[None], cross_len.astype(jnp.int32)]
@@ -473,6 +481,9 @@ def fused_decode_step(
     if quant:
         in_specs.append(layer_block((1, 7 * D + F)))  # scale strip
         args.append(packed["scale"])
+    if fin:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # fin_ln
+        args.append(packed["fin_ln"])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -491,7 +502,7 @@ def fused_decode_step(
 
     kernel = functools.partial(
         _kernel, B=B, D=D, H=nhead, L=L, S=S, F=F, n_layers=n_layers,
-        quant=quant,
+        quant=quant, fin=fin,
     )
     logits, new_kv = pl.pallas_call(
         kernel,
@@ -678,19 +689,19 @@ def _kernel_v3(
     scalars, state, aux, span_types, sid_tbl,  # scalar-prefetch (SMEM)
     emb, w_attn, bias, ln, w_ff1, w_ff2, fc_w, fc_b, masks_f, class_mat,
     noise, self_kv, cross_kv,  # noise + caches in HBM
-    # quant=True inserts the pipelined scale strip here, then
-    # outputs (state_out, newkv) and scratch (x_s, kvbuf, sems, gbuf, gsem)
+    # optional inputs follow in order: scale strip (quant=True), final
+    # decoder layernorm (fin=True); then outputs (state_out, newkv) and
+    # scratch (x_s, kvbuf, sems, gbuf, gsem)
     *rest,
     B: int, D: int, H: int, L: int, S: int, F: int, n_layers: int,
     vpad: int, mode: int, max_spans: int, span_cap: int, eos_index: int,
     mask_index: int, nucleus_p, temperature: float, greedy: bool,
-    n_sid: int, span_body: int, quant: bool = False,
+    n_sid: int, span_body: int, quant: bool = False, fin: bool = False,
 ):
-    if quant:
-        scale, state_out, newkv_ref, x_s, kvbuf, sems, gbuf, gsem = rest
-    else:
-        scale = None
-        state_out, newkv_ref, x_s, kvbuf, sems, gbuf, gsem = rest
+    rest = list(rest)
+    scale = rest.pop(0) if quant else None
+    fin_ln = rest.pop(0) if fin else None
+    state_out, newkv_ref, x_s, kvbuf, sems, gbuf, gsem = rest
     i = pl.program_id(0)
     index = scalars[0]
 
@@ -721,7 +732,8 @@ def _kernel_v3(
 
     @pl.when(i == n_layers - 1)
     def _():
-        logits = jnp.dot(x, fc_w[:], preferred_element_type=jnp.float32) + fc_b[:]
+        y = _layernorm(x, fin_ln[0], fin_ln[1]) if fin else x
+        logits = jnp.dot(y, fc_w[:], preferred_element_type=jnp.float32) + fc_b[:]
         if not greedy:
             pltpu.make_async_copy(noise.at[index], gbuf, gsem).wait()
         for b in range(B):
@@ -771,6 +783,7 @@ def fused_decode_token(
     D, F = d_model, d_ff
     dt = self_kv.dtype
     quant = "scale" in packed
+    fin = "fin_ln" in packed
 
     scalars = jnp.concatenate(
         [jnp.asarray(index, jnp.int32)[None], cross_len.astype(jnp.int32)]
@@ -801,6 +814,8 @@ def fused_decode_token(
     ]
     if quant:
         in_specs.append(layer_block((1, 7 * D + F)))  # scale strip
+    if fin:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # fin_ln
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -824,7 +839,7 @@ def fused_decode_token(
         vpad=vpad, mode=mode, max_spans=max_spans, span_cap=span_cap,
         eos_index=eos_index, mask_index=mask_index, nucleus_p=nucleus_p,
         temperature=temperature, greedy=greedy, n_sid=n_sid,
-        span_body=span_body, quant=quant,
+        span_body=span_body, quant=quant, fin=fin,
     )
     args = [
         scalars,
@@ -842,6 +857,8 @@ def fused_decode_token(
     ]
     if quant:
         args.append(packed["scale"])
+    if fin:
+        args.append(packed["fin_ln"])
     new_state, new_kv = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
