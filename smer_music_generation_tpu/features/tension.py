@@ -194,6 +194,7 @@ def cal_tension(
     down_beat_indices: Sequence[int],
     window_size: int = -1,
     key_names: Optional[Sequence[str]] = None,
+    end_ratio: float = 1.0,
 ) -> Optional[Tuple[np.ndarray, np.ndarray, str, str, int]]:
     """Per-bar tensile strain + cloud diameter (reference ``:370-518``).
 
@@ -201,11 +202,13 @@ def cal_tension(
     key_change_beat)``.  Key-change detection is effectively disabled in the
     reference (gated on ``len(down_beat_time) > 9999999``) and therefore not
     attempted here; :func:`detect_key_change` is exposed separately.
+    ``end_ratio`` limits key detection to the first fraction of the piece
+    (reference ``cal_key`` ``:242``, CLI flag ``-r``).
     """
     if key_names is None:
         key_names = ALL_KEY_NAMES
     try:
-        result = cal_key(piano_roll, key_names)
+        result = cal_key(piano_roll, key_names, end_ratio=end_ratio)
         if result is None:
             return None
         key_name, key_pos, shift = result

@@ -208,3 +208,63 @@ def test_occupation_polyphony():
     assert poly[1] == pytest.approx(1.0)
     assert bar_occ[0][0] == pytest.approx(0.5)
     assert bar_poly[1][0] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# Standalone tension CLI (reference tension_calculation.py:733-962; the
+# reference __main__ itself is dead code — see features/tension_cli.py)
+# ---------------------------------------------------------------------------
+
+
+def test_tension_cli_end_to_end(tmp_path):
+    import json
+    import pickle
+
+    from tests.test_smer_codec import make_score
+    from smer_music_generation_tpu.features import tension_cli
+
+    in_dir = tmp_path / "midi"
+    out_dir = tmp_path / "out"
+    in_dir.mkdir()
+    for i in range(2):
+        make_score(tracks=2, bars=6, seed=10 + i).write(str(in_dir / f"song{i}.mid"))
+
+    assert tension_cli.main(["-i", str(in_dir), "-o", str(out_dir), "-k"]) == 0
+
+    summary = json.loads((out_dir / "files_result.json").read_text())
+    assert len(summary) == 2
+    for path, (key, change_time, change_bar, change_name) in summary.items():
+        assert key.endswith(("major", "minor"))
+        assert isinstance(change_bar, int)
+        base = path.rsplit("/", 1)[-1]
+        with open(out_dir / f"{base}.tension", "rb") as fh:
+            tensile = pickle.load(fh)
+        with open(out_dir / f"{base}.diameter", "rb") as fh:
+            diameter = pickle.load(fh)
+        # bar-window aggregation: one value per bar boundary pair
+        assert tensile.shape == diameter.shape
+        assert 4 <= tensile.shape[0] <= 6
+        assert np.count_nonzero(tensile) > 0
+
+
+def test_tension_cli_single_file_fixed_key_and_window(tmp_path):
+    import json
+
+    from tests.test_smer_codec import make_score
+    from smer_music_generation_tpu.features import tension_cli
+
+    midi = tmp_path / "one.mid"
+    make_score(tracks=1, bars=6, seed=3).write(str(midi))
+    out_dir = tmp_path / "out"
+    # 2-beat windows + a forced key (enharmonic input form)
+    assert tension_cli.main(
+        ["-f", str(midi), "-o", str(out_dir), "-w", "2", "-n", "C major"]
+    ) == 0
+    summary = json.loads((out_dir / "files_result.json").read_text())
+    [(path, (key, _t, bar, _n))] = summary.items()
+    assert key == "C major"
+    assert bar == -1  # -k not passed: no key-change detection
+    result = tension_cli.analyze_file(str(midi), window_size=2, key_name="C major")
+    tensile = result[0]
+    # 6 bars of 4/4 at 2-beat windows: ~2 windows per bar (minus tail)
+    assert tensile.shape[0] > 6
