@@ -164,3 +164,64 @@ def test_checkpoint_file_roundtrip(tmp_path):
     )
     assert logits.shape == (1, 4, 309)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_convert_cli_to_orbax_to_engine(tmp_path):
+    """The full migration path: a reference torch checkpoint file runs
+    through the convert CLI to orbax, restores into a TrainState, and the
+    restored weights drive a grammar-valid infill end to end."""
+    import torch
+
+    import jax
+    from smer_music_generation_tpu.infer.engine import InfillEngine
+    from smer_music_generation_tpu.train import convert
+    from smer_music_generation_tpu.train.checkpoint import (
+        latest_checkpoint,
+        restore_checkpoint,
+    )
+    from smer_music_generation_tpu.train.state import TrainState
+    from smer_music_generation_tpu.vocab import WordVocab
+
+    _, sd = _reference_model_and_sd(d_model=64, nhead=4, d_ff=128, max_seq=2048)
+    ckpt = tmp_path / "checkpoint_9"
+    torch.save({"model_state_dict": sd, "epoch": 9, "loss": 0.5}, str(ckpt))
+
+    out_dir = tmp_path / "imported"
+    assert convert.main([str(ckpt), str(out_dir), "--nhead", "4"]) == 0
+
+    path = latest_checkpoint(str(out_dir))
+    assert path is not None and path.endswith("checkpoint_9")
+
+    cfg, params, _ = convert.load_torch_checkpoint(str(ckpt), nhead=4, max_len=2048)
+    state = TrainState.create(params, lr=1e-4)
+    state, epoch, loss = restore_checkpoint(path, state)
+    assert epoch == 9 and loss == 0.5
+    for leaf_a, leaf_b in zip(
+        jax.tree.leaves(params), jax.tree.leaves(state.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(leaf_a), np.asarray(leaf_b))
+
+    vocab = WordVocab(mode=0)
+    model = ScoreTransformer(cfg)
+    engine = InfillEngine(
+        model, state.params, vocab, nucleus_p=0.9, max_tgt_len=512,
+        max_time_fix_attempts=1,
+    )
+    from tests.test_infer import make_two_track_score
+    from smer_music_generation_tpu.codec.annotate import encode_midi
+    from smer_music_generation_tpu.infer.engine import change_controls
+
+    score = make_two_track_score()
+    events, controls = encode_midi(
+        score, controls={"key": None}, track_names=["track_0", "track_1"]
+    )
+    controls["bar_track"] = 0
+    controls["track_0_c"] = controls["track_0"]
+    controls["track_1_c"] = controls["track_1"]
+    events = change_controls(events, controls, vocab)
+
+    result = engine(events, tracks_to_generate=[0], bars_to_generate=[1],
+                    rng=jax.random.PRNGKey(5))
+    assert result is not None
+    assert "m_0" not in result.events
+    vocab.encode(result.events)  # every token in-vocabulary
