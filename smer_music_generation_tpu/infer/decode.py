@@ -150,7 +150,17 @@ class InfillDecoder:
         # B=1 15.5k, B=4 35k, B=8 43.6k tok/s vs 14k for the XLA path at
         # any batch), but per-element instruction count grows linearly —
         # beyond 8 the engine chunks requests instead (engine.run_batch).
-        use_fused = self.fused and S % CHUNK == 0 and S <= cfg.max_len and B <= 8
+        # B must also be lane-tileable: the kernel's (L, B, vpad) noise
+        # buffer is sliced per token and Mosaic requires the sliced batch
+        # dim to align to its (4, 128) tiling — B == 1 or a multiple of 4
+        # (B=3 fails to compile: "Slice shape along dimension 1 must be
+        # aligned to tiling (4)").  engine.run_batch pads request groups
+        # to these sizes; a direct caller with an odd B falls back to the
+        # XLA step path instead of a compile error.
+        use_fused = (
+            self.fused and S % CHUNK == 0 and S <= cfg.max_len and B <= 8
+            and (B == 1 or B % 4 == 0)
+        )
         if use_fused:
             nl, D = cfg.num_decoder_layers, cfg.d_model
             vpad = vocab_pad(t.vocab_size)

@@ -374,6 +374,21 @@ class InfillEngine:
         # dispatch is asynchronous, so the device pipelines group k+1 while
         # the host is fetching/restoring group k.
         group = 8
+        if self.decoder.fused and 1 < B < group and B != 4:
+            # the fused kernel only compiles at lane-tileable batch sizes
+            # (B == 1 or B % 4 == 0 — see decode.py's fused gate); pad odd
+            # sizes up with done-at-start dummies (n_spans = 0) rather than
+            # silently losing the kernel to the XLA fallback
+            target = 4 if B < 4 else group
+            padded = list(requests)
+            while len(padded) < target:
+                padded.append(replace(requests[-1], span_codes=[]))
+            asm = self._assemble(padded)
+            out = self.decoder(self.params, asm[0], asm[1], asm[2], asm[3], rng)
+            return self._finish_group(
+                padded, rng, asm, out,
+                fix_durations=fix_durations, correct_controls=correct_controls,
+            )[:B]
         if B > group and self.decoder.fused:
             # pad the tail group to the full group size with done-at-start
             # dummies (n_spans = 0) so it reuses the B=group executable

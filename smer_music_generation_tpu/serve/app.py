@@ -19,27 +19,121 @@ The heavy lifting is one jitted decode session per request
 from __future__ import annotations
 
 import json
+import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Dict
+from typing import Dict, List, Optional
 
 import jax
 
 from ..codec.annotate import encode_midi
 from ..codec.smer import events_to_midi
-from ..infer.engine import InfillEngine, change_controls
+from ..infer.engine import InfillEngine, InfillResult, change_controls
 from ..vocab import WordVocab
 from .protocol import midi2notes, note_midi
 
 
+class _Pending:
+    """One in-flight infill request awaiting its batched decode."""
+
+    __slots__ = ("request", "rng", "done", "result", "error")
+
+    def __init__(self, request, rng):
+        self.request = request
+        self.rng = rng
+        self.done = threading.Event()
+        self.result: Optional[InfillResult] = None
+        self.error: Optional[BaseException] = None
+
+
+class MicroBatcher:
+    """Coalesce concurrent infill requests into batched device decodes.
+
+    A single-chip decode at B=1 leaves most of the fused kernel's
+    throughput on the table (the per-token weight stream is shared across
+    batch rows — see ``docs/PERFORMANCE.md``: ~13.5k tokens/s at B=1 vs
+    ~44k aggregate at B=8).  Under concurrent plugin traffic the server
+    therefore queues prepared requests and drains them in groups: the
+    worker takes the first waiting request, keeps collecting until
+    ``max_batch`` or ``window_ms`` elapses, and runs ONE
+    ``InfillEngine.run_batch`` for the group.  A lone request pays at most
+    ``window_ms`` extra latency; concurrent requests gain up to the full
+    batched-throughput multiple.  The single consumer thread also
+    serializes device access.
+    """
+
+    def __init__(self, engine: InfillEngine, max_batch: int = 8,
+                 window_ms: float = 8.0):
+        self.engine = engine
+        self.max_batch = max_batch
+        self.window_s = window_ms / 1000.0
+        self._queue: "queue.Queue[_Pending]" = queue.Queue()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, request, rng) -> Optional[InfillResult]:
+        """Block until the request's batch is decoded; returns its result."""
+        item = _Pending(request, rng)
+        self._queue.put(item)
+        item.done.wait()
+        if item.error is not None:
+            raise item.error
+        return item.result
+
+    # ------------------------------------------------------------------
+    def _collect(self) -> List[_Pending]:
+        batch = [self._queue.get()]
+        deadline = time.monotonic() + self.window_s
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self._queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
+    def _run(self):
+        while True:
+            batch = self._collect()
+            try:
+                # one rng for the group: run_batch folds in per-group salt,
+                # and per-element span structure decorrelates the streams
+                results = self.engine.run_batch(
+                    [b.request for b in batch], batch[0].rng
+                )
+            except BaseException as exc:  # propagate to every waiter
+                for b in batch:
+                    b.error = exc
+                    b.done.set()
+                continue
+            for b, r in zip(batch, results):
+                b.result = r
+                b.done.set()
+
+
 class ServingContext:
-    """Model + vocab + engine shared across requests."""
+    """Model + vocab + engine shared across requests.
+
+    ``batch_window_ms > 0`` (default) coalesces concurrent ``/generate``
+    requests through :class:`MicroBatcher`; 0 decodes each request
+    individually.
+    """
 
     def __init__(self, model, params, vocab: WordVocab, nucleus_p: float = 0.9,
-                 temperature: float = 1.0):
+                 temperature: float = 1.0, batch_window_ms: float = 8.0,
+                 max_batch: int = 8):
         self.vocab = vocab
         self.engine = InfillEngine(
             model, params, vocab, nucleus_p=nucleus_p, temperature=temperature
+        )
+        self.batcher = (
+            MicroBatcher(self.engine, max_batch=max_batch,
+                         window_ms=batch_window_ms)
+            if batch_window_ms > 0
+            else None
         )
         self._rng = jax.random.PRNGKey(0)
         self._lock = threading.Lock()
@@ -76,7 +170,15 @@ class ServingContext:
         tracks = payload.get("tracks", [0])
         bars = payload.get("bars", [])
         events = change_controls(events, controls, self.vocab)
-        result = self.engine(events, tracks, bars, self.next_rng())
+        if self.batcher is not None:
+            prepared = self.engine.prepare(events, tracks, bars)
+            result = (
+                self.batcher.submit(prepared, self.next_rng())
+                if prepared is not None
+                else None
+            )
+        else:
+            result = self.engine(events, tracks, bars, self.next_rng())
         if result is None:
             return {"error": "generation failed"}
         out: Dict = {"events": result.events, "decode_steps": result.decode_steps}

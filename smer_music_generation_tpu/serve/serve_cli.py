@@ -29,6 +29,10 @@ def main(argv=None) -> int:
     parser.add_argument("--port", type=int, default=5000)
     parser.add_argument("--nucleus_p", type=float, default=0.9)
     parser.add_argument("--temperature", type=float, default=1.0)
+    parser.add_argument("--batch_window_ms", type=float, default=8.0,
+                        help="coalesce concurrent /generate requests into "
+                        "batched decodes for up to this many ms (0 = off)")
+    parser.add_argument("--max_batch", type=int, default=8)
     args = parser.parse_args(argv)
 
     from ..utils.cache import enable_persistent_cache
@@ -56,7 +60,9 @@ def main(argv=None) -> int:
         logger.warning("serving with RANDOM weights (no --checkpoint given)")
 
     ctx = ServingContext(
-        model, params, vocab, nucleus_p=args.nucleus_p, temperature=args.temperature
+        model, params, vocab, nucleus_p=args.nucleus_p,
+        temperature=args.temperature, batch_window_ms=args.batch_window_ms,
+        max_batch=args.max_batch,
     )
     server = serve(ctx, host=args.host, port=args.port)
     logger.info(f"serving on {server.server_address}")

@@ -564,3 +564,41 @@ def test_decode_grammar_legal_under_many_seeds(vocab, seed):
     assert spans[2] and spans[2][0].startswith("o_") and len(spans[2]) == 1
     assert spans[3] and spans[3][0].startswith("y_") and len(spans[3]) == 1
     assert spans[4] and spans[4][0].startswith("s_") and len(spans[4]) == 1
+
+
+def test_run_batch_pads_to_fused_tileable_sizes(vocab, mode2_events, tiny_engine):
+    """Fused-kernel batches must be B==1 or B%4==0 (Mosaic lane tiling);
+    odd request counts are padded with done-at-start dummies."""
+    from smer_music_generation_tpu.infer.engine import InfillEngine
+
+    engine = InfillEngine(
+        tiny_engine.model, tiny_engine.params, vocab, nucleus_p=0.9,
+        max_tgt_len=512, max_time_fix_attempts=1,
+    )
+
+    class _RecordingDecoder:
+        def __init__(self, inner):
+            self._inner = inner
+            self.fused = True  # pretend we're on the kernel path
+            self.batches = []
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def __call__(self, params, src, span_types, n_spans, no_whole, rng):
+            self.batches.append(int(src.shape[0]))
+            return self._inner(params, src, span_types, n_spans, no_whole, rng)
+
+    proxy = _RecordingDecoder(engine.decoder)
+    engine.decoder = proxy
+
+    events, _ = mode2_events
+    reqs = [
+        engine.prepare(events, [0], [b]) for b in (1, 2, 3)
+    ]
+    assert all(r is not None for r in reqs)
+    results = engine.run_batch(reqs, jax.random.PRNGKey(0))
+    assert len(results) == 3
+    assert all(r is not None and "m_0" not in r.events for r in results)
+    # 3 requests dispatched as one tileable batch of 4
+    assert all(b == 4 for b in proxy.batches)

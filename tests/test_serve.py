@@ -1,6 +1,8 @@
 """Serving layer tests: plugin protocol round trip + live HTTP server."""
 
 import json
+import threading
+import time
 import urllib.request
 
 import jax
@@ -123,3 +125,102 @@ def test_http_encode_then_generate(server_url):
     assert "events" in gen, gen
     assert "m_0" not in gen["events"]
     assert gen["decode_steps"] > 0
+
+
+# ---------------------------------------------------------------------------
+# Request micro-batching (serve/app.py MicroBatcher)
+# ---------------------------------------------------------------------------
+
+
+class _CountingEngine:
+    """run_batch stub: records group sizes, returns one token per request."""
+
+    def __init__(self, fail=False):
+        self.calls = []
+        self.fail = fail
+        self._lock = threading.Lock()
+
+    def run_batch(self, requests, rng):
+        with self._lock:
+            self.calls.append(len(requests))
+        if self.fail:
+            raise RuntimeError("device exploded")
+        time.sleep(0.01)
+        return [("ok", r) for r in requests]
+
+
+def test_micro_batcher_coalesces_concurrent_requests():
+    from smer_music_generation_tpu.serve.app import MicroBatcher
+
+    engine = _CountingEngine()
+    batcher = MicroBatcher(engine, max_batch=8, window_ms=250.0)
+    results = [None] * 4
+
+    def worker(i):
+        results[i] = batcher.submit(f"req{i}", rng=None)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert results == [("ok", f"req{i}") for i in range(4)]
+    # all four landed in one decode (the window is generous)
+    assert engine.calls == [4]
+
+
+def test_micro_batcher_caps_group_size():
+    from smer_music_generation_tpu.serve.app import MicroBatcher
+
+    engine = _CountingEngine()
+    batcher = MicroBatcher(engine, max_batch=2, window_ms=250.0)
+    threads = [
+        threading.Thread(target=batcher.submit, args=(f"r{i}", None))
+        for i in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert sorted(engine.calls) in ([2, 2], [1, 2, 2], [1, 1, 2, 2], [1, 1, 1, 2])
+    assert sum(engine.calls) == 4
+    assert max(engine.calls) <= 2
+
+
+def test_micro_batcher_propagates_errors():
+    from smer_music_generation_tpu.serve.app import MicroBatcher
+
+    batcher = MicroBatcher(_CountingEngine(fail=True), window_ms=1.0)
+    with pytest.raises(RuntimeError, match="device exploded"):
+        batcher.submit("req", None)
+
+
+def test_http_concurrent_generates_batched(server_url):
+    """Concurrent /generate requests all succeed through the batcher."""
+    enc = _post(server_url + "/encode", {"notes": plugin_payload(), "controls": {}})
+    events, controls = enc["events"], enc["controls"]
+    controls["bar_track"] = 0
+    controls["track_0_c"] = controls["track_0"]
+    controls["track_1_c"] = controls["track_1"]
+    payload = {
+        "events": events, "controls": controls,
+        "tracks": [0], "bars": [3], "tempo": 100,
+    }
+    outs = [None] * 3
+    errs = []
+
+    def worker(i):
+        try:
+            outs[i] = _post(server_url + "/generate", payload)
+        except Exception as exc:  # pragma: no cover - diagnostic
+            errs.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errs
+    for out in outs:
+        assert out is not None and "events" in out, out
+        assert "m_0" not in out["events"]
