@@ -28,12 +28,22 @@ def collate(
     bucket: int = 128,
     max_src: int = 2400,
     max_tgt: int = 2400,
+    row_bucket: int = 8,
+    eos_id: int = 1,
 ) -> Optional[Dict[str, np.ndarray]]:
     """Stack (tokens, decoder_in, decoder_target) triples into padded arrays.
 
     Returns ``{"input", "target_in", "target_out", "input_pad_mask",
     "target_pad_mask"}`` with pad id 0 and boolean masks (True = pad),
     matching the reference collate contract.
+
+    The ROW count is bucketed too (``row_bucket``): packed groups hold a
+    variable number of sequences, and on TPU every distinct (B, src, tgt)
+    shape is a separate XLA compile — over a remote-compile backend an
+    unbucketed batch dim turns epoch 1 into an hour of compilation.
+    Dummy rows carry a single ``<eos>`` input/decoder-input token (so no
+    attention row has all keys masked -> no NaN softmax) and an all-pad
+    target (so they contribute exactly zero loss and zero accuracy count).
     """
     groups = [g for g in groups if g is not None]
     if not groups:
@@ -49,7 +59,8 @@ def collate(
     src_len = _bucket(max(len(t) for t in tokens), bucket, max_src)
     tgt_len = _bucket(max(max(len(d) for d in dins), max(len(d) for d in dtgts)), bucket, max_tgt)
 
-    B = len(tokens)
+    n_rows = len(tokens)
+    B = _bucket(n_rows, row_bucket, max(n_rows, row_bucket)) if row_bucket > 1 else n_rows
     inp = np.zeros((B, src_len), dtype=np.int32)
     tin = np.zeros((B, tgt_len), dtype=np.int32)
     tout = np.zeros((B, tgt_len), dtype=np.int32)
@@ -57,6 +68,8 @@ def collate(
         inp[i, : min(len(t), src_len)] = t[:src_len]
         tin[i, : min(len(di), tgt_len)] = di[:tgt_len]
         tout[i, : min(len(dt), tgt_len)] = dt[:tgt_len]
+    inp[n_rows:, 0] = eos_id
+    tin[n_rows:, 0] = eos_id
     return {
         "input": inp,
         "target_in": tin,
@@ -72,6 +85,7 @@ class LoaderConfig:
     bucket: int = 128
     max_src: int = 2400
     max_tgt: int = 2400
+    row_bucket: int = 8  # batch-dim bucket (see collate)
     pretraining: bool = True
 
 
@@ -113,7 +127,8 @@ class BatchLoader:
                 else:
                     groups.append(self.pipeline.mask_bars(prepared))
             batch = collate(
-                groups, self.cfg.bucket, self.cfg.max_src, self.cfg.max_tgt
+                groups, self.cfg.bucket, self.cfg.max_src, self.cfg.max_tgt,
+                row_bucket=self.cfg.row_bucket, eos_id=self.vocab.eos_index,
             )
             if batch is not None:
                 yield batch

@@ -151,7 +151,10 @@ class Trainer:
             for n, c, k in zip(names, np.asarray(m["correct_per_class"]), np.asarray(m["count_per_class"])):
                 acc_correct[n] += c
                 acc_count[n] += k
-            if step % self.cfg.print_every == self.cfg.print_every - 1:
+            if step < 3 or step % self.cfg.print_every == self.cfg.print_every - 1:
+                # the first steps are logged unconditionally: they carry the
+                # per-bucket-shape compile cost, and a silent first epoch
+                # reads as a hang on slow-compile backends
                 record = {
                     "epoch": epoch,
                     "train_loss": float(np.mean(losses[-self.cfg.print_every:])),

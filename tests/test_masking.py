@@ -183,3 +183,55 @@ def test_random_word_span_length_distribution(vocab, control_events):
     assert set(counts) <= {1, 2, 3}
     # length 3 dominates (p=.5 of draws)
     assert counts[3] > counts[1] and counts[3] > counts[2]
+
+
+def test_collate_buckets_row_count_with_neutral_dummies(vocab):
+    """The batch dim buckets to row_bucket; dummy rows are loss-neutral."""
+    import jax
+    import jax.numpy as jnp
+
+    from smer_music_generation_tpu.data.loader import collate
+    from smer_music_generation_tpu.models.transformer import ModelConfig, ScoreTransformer
+    from smer_music_generation_tpu.train.loss import build_loss_tables, multihead_ce
+
+    rng = np.random.default_rng(0)
+    seqs = [rng.integers(2, 300, size=rng.integers(20, 60)) for _ in range(5)]
+    group = (seqs, [s[:10] for s in seqs], [s[1:11] for s in seqs])
+    batch = collate([group], bucket=128, row_bucket=8, eos_id=vocab.eos_index)
+    assert batch["input"].shape[0] == 8  # 5 real rows -> bucket of 8
+    # dummy rows: one eos input token, all-pad target_out
+    assert (batch["input"][5:, 0] == vocab.eos_index).all()
+    assert (batch["input"][5:, 1:] == 0).all()
+    assert (batch["target_out"][5:] == 0).all()
+    assert not batch["input_pad_mask"][5:, 0].any()
+
+    # numerics: model loss over the bucketed batch equals the loss over
+    # only the real rows (dummies contribute zero loss and zero counts)
+    cfg = ModelConfig(
+        vocab_size=vocab.vocab_size, d_model=32, nhead=4, num_encoder_layers=1,
+        num_decoder_layers=1, d_ff=64, max_len=256, dropout=0.0, pos_dropout=0.0,
+    )
+    model = ScoreTransformer(cfg)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.ones((1, 8), jnp.int32), jnp.ones((1, 8), jnp.int32),
+    )
+    tables = build_loss_tables(vocab)
+
+    def loss_of(b, rows):
+        logits, _ = model.apply(
+            params,
+            jnp.asarray(b["input"][:rows]),
+            jnp.asarray(b["target_in"][:rows]),
+            src_pad_mask=jnp.asarray(b["input_pad_mask"][:rows]),
+            tgt_pad_mask=jnp.asarray(b["target_pad_mask"][:rows]),
+        )
+        loss, _ = multihead_ce(
+            logits, jnp.asarray(b["target_out"][:rows]), tables, jnp.float32(1.0)
+        )
+        return float(loss)
+
+    full = loss_of(batch, 8)
+    real = loss_of(batch, 5)
+    assert np.isfinite(full)
+    np.testing.assert_allclose(full, real, rtol=1e-5)
