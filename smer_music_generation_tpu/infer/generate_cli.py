@@ -73,6 +73,12 @@ def main(argv=None) -> int:
         logger.error("encode failed (unsupported time signature or empty file)")
         return 1
     events, controls = result
+    if vocab.mode == 1:
+        # REMI serving: the codec tokenizes SMER; convert the annotated
+        # stream (smer_to_remi handles control tokens) for a mode-1 vocab
+        from ..codec.remi import smer_to_remi
+
+        events = smer_to_remi(events)
     controls["bar_track"] = 0
     for name in track_names:
         controls[f"{name}_c"] = controls[name]
@@ -93,7 +99,12 @@ def main(argv=None) -> int:
         logger.error("generation failed")
         return 1
     tempo = float(score.get_tempo_changes()[1][0])
-    out = events_to_midi(gen.events, tempo)
+    if vocab.mode == 1:
+        from ..codec.remi import remi_to_midi
+
+        out = remi_to_midi(gen.events, tempo)
+    else:
+        out = events_to_midi(gen.events, tempo)
     if out is None:
         logger.error("decode of generated stream failed")
         return 1

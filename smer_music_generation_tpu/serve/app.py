@@ -162,6 +162,12 @@ class ServingContext:
         if result is None:
             return {"error": "encode failed"}
         events, all_controls = result
+        if self.vocab.mode == 1:
+            # REMI serving: the codec tokenizes SMER; convert the annotated
+            # stream for a mode-1 vocab (smer_to_remi keeps controls)
+            from ..codec.remi import smer_to_remi
+
+            events = smer_to_remi(events)
         return {"events": events, "controls": all_controls}
 
     def handle_generate(self, payload: Dict) -> Dict:
@@ -183,7 +189,12 @@ class ServingContext:
             return {"error": "generation failed"}
         out: Dict = {"events": result.events, "decode_steps": result.decode_steps}
         tempo = float(payload.get("tempo", 100.0))
-        partial = events_to_midi(result.events, tempo)
+        if self.vocab.mode == 1:
+            from ..codec.remi import remi_to_midi
+
+            partial = remi_to_midi(result.events, tempo)
+        else:
+            partial = events_to_midi(result.events, tempo)
         if partial is not None and "start_bar" in controls:
             track_names = [f"track_{i}" for i in range(len(partial.instruments))]
             out["notes"] = midi2notes(partial, tempo, track_names, controls)

@@ -602,3 +602,29 @@ def test_run_batch_pads_to_fused_tileable_sizes(vocab, mode2_events, tiny_engine
     assert all(r is not None and "m_0" not in r.events for r in results)
     # 3 requests dispatched as one tileable batch of 4
     assert all(b == 4 for b in proxy.batches)
+
+
+def test_generate_cli_remi_mode(tmp_path):
+    """Mode-1 serving end to end: SMER tokenize -> smer_to_remi -> REMI
+    grammar decode -> remi_to_midi (regression: the CLI used to feed SMER
+    duration tokens to the REMI vocab and crash on char2index)."""
+    import json
+
+    from smer_music_generation_tpu.codec.midi import read_midi
+    from smer_music_generation_tpu.infer import generate_cli
+
+    score = make_two_track_score()
+    midi_in = tmp_path / "in.mid"
+    score.write(str(midi_in))
+    cfg = {"vocab_mode": 1, "d_model": 32, "nhead": 4, "num_layers": 1, "d_ff": 64}
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    out_path = tmp_path / "out.mid"
+    rc = generate_cli.main([
+        "-i", str(midi_in), "-o", str(out_path),
+        "--bars", "1", "--tracks", "0",
+        "--config", str(cfg_path), "--seed", "5", "--max_tgt", "256",
+    ])
+    assert rc == 0
+    decoded = read_midi(str(out_path))
+    assert decoded.instruments
