@@ -19,7 +19,7 @@ from __future__ import annotations
 import os
 import pickle
 import random
-from typing import List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -382,3 +382,67 @@ def walk_midi(folder: str) -> List[str]:
             if name.rsplit(".", 1)[-1].lower() in ("mid", "midi"):
                 files.append(os.path.join(p, name))
     return sorted(files)
+
+
+def check_remi_events(events: Sequence[str]) -> Optional[List[str]]:
+    """Validate a converted REMI stream (reference ``check_remi_event``,
+    ``create_dataset.py:225-245``): it must decode to a MIDI with at least
+    one non-empty track; the raw tempo header is binned to its ``t_*``
+    token.  Returns the (tempo-binned) stream or None."""
+    from ..codec.annotate import tempo_to_token
+
+    events = list(events)
+    score = remi_to_midi(events)
+    if score is None:
+        return None
+    score = remove_empty_tracks(score)
+    if score is None or not score.instruments:
+        return None
+    if "_" not in events[1]:
+        events[1] = tempo_to_token(float(events[1]))
+    return events
+
+
+def validate_event_data(
+    batches: Sequence[Sequence[Sequence[str]]],
+) -> List[Dict]:
+    """QA round trip over packed batches (reference ``validate_event_data``,
+    ``create_dataset.py:1536-1551``): decode each window to MIDI,
+    re-tokenize, re-annotate, and report windows whose bar count or
+    length shrinks.  In-memory (the reference wrote ``./temp.mid``);
+    returns a list of problem records instead of printing.
+    """
+    from ..codec.annotate import encode_midi
+    from ..codec.smer import remove_control_event
+    from ..vocab import CONTROL_TOKENS
+
+    problems: List[Dict] = []
+    for bi, batch in enumerate(batches):
+        for wi, events in enumerate(batch):
+            events = list(events)
+            n_bars = events.count("bar")
+            record = {"batch": bi, "window": wi, "bars": n_bars}
+            score = events_to_midi(remove_control_event(events, CONTROL_TOKENS))
+            if score is None:
+                problems.append({**record, "error": "decode failed"})
+                continue
+            n_tracks = len(score.instruments)
+            result = encode_midi(
+                score, controls={"key": None},
+                track_names=[f"track_{i}" for i in range(n_tracks)],
+            )
+            if result is None:
+                problems.append({**record, "error": "re-annotation failed"})
+                continue
+            new_events, _ = result
+            if new_events.count("bar") < min(n_bars, 16):
+                problems.append(
+                    {**record, "error": "bar count shrank",
+                     "new_bars": new_events.count("bar")}
+                )
+            elif len(new_events) < len(events) * 0.5:
+                problems.append(
+                    {**record, "error": "length shrank",
+                     "old_len": len(events), "new_len": len(new_events)}
+                )
+    return problems

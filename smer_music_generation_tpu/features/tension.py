@@ -258,6 +258,19 @@ def detect_key_change(key_diff: np.ndarray, diameter: np.ndarray, start_ratio: f
     return -1
 
 
+def key_after_change(
+    piano_roll: np.ndarray, change_step: int
+) -> Optional[Tuple[str, np.ndarray, int]]:
+    """Re-detect the key from a change point on (reference
+    ``get_key_index_change`` ``:521-536``, which rebuilds a PrettyMIDI of
+    the notes after the change time; here the piano roll is sliced at the
+    corresponding 16th step — notes sustained across the boundary keep
+    their tail columns, a documented simplification)."""
+    if change_step < 0 or change_step >= piano_roll.shape[1]:
+        return None
+    return cal_key(piano_roll[:, change_step:], ALL_KEY_NAMES)
+
+
 def moving_average(tension: np.ndarray, window: int = 4) -> np.ndarray:
     zeros = np.zeros((window,), dtype=tension.dtype)
     padded = np.concatenate([tension, zeros], axis=0)

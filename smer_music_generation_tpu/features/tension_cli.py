@@ -35,6 +35,7 @@ from .tension import (
     cal_tension,
     detect_key_change,
     extract_notes,
+    key_after_change,
 )
 
 
@@ -80,8 +81,15 @@ def analyze_file(
     change_time, change_bar = -1.0, -1
     if key_changed:
         change_bar = detect_key_change(tensile, diameter, start_ratio=end_ratio)
-        if change_bar != -1 and change_bar < len(grid.down_beat_time):
+        if change_bar != -1 and change_bar < len(grid.down_beat_indices):
             change_time = float(grid.down_beat_time[change_bar])
+            after = key_after_change(
+                grid.piano_roll, int(grid.down_beat_indices[change_bar])
+            )
+            if after is not None and after[0] != found_key:
+                change_name = after[0]
+            else:
+                change_time, change_bar = -1.0, -1
         else:
             change_bar = -1
     return tensile, diameter, found_key, change_time, change_bar, change_name

@@ -268,3 +268,53 @@ def test_tension_cli_single_file_fixed_key_and_window(tmp_path):
     tensile = result[0]
     # 6 bars of 4/4 at 2-beat windows: ~2 windows per bar (minus tail)
     assert tensile.shape[0] > 6
+
+
+def test_key_after_change_redetects():
+    from smer_music_generation_tpu.features.tension import cal_key, key_after_change
+
+    rng = np.random.default_rng(0)
+    # first half C major pitch classes, second half F# major
+    c_major = [60, 62, 64, 65, 67, 69, 71]
+    fs_major = [66, 68, 70, 71, 73, 75, 77]
+    roll = np.zeros((128, 128), dtype=int)
+    for t in range(64):
+        roll[rng.choice(c_major), t] = 1
+    for t in range(64, 128):
+        roll[rng.choice(fs_major), t] = 1
+    first = cal_key(roll[:, :64], None or __import__(
+        "smer_music_generation_tpu.features.tension", fromlist=["ALL_KEY_NAMES"]
+    ).ALL_KEY_NAMES)
+    after = key_after_change(roll, 64)
+    assert first is not None and after is not None
+    assert first[0] != after[0]
+    assert key_after_change(roll, 200) is None  # past the end
+
+
+def test_validate_event_data_and_check_remi(tmp_path):
+    import pickle
+
+    from tests.test_smer_codec import make_score
+    from smer_music_generation_tpu.codec.remi import smer_to_remi
+    from smer_music_generation_tpu.data.build import (
+        build_file,
+        check_remi_events,
+        tokenize_file,
+        validate_event_data,
+    )
+
+    path = tmp_path / "s.mid"
+    make_score(tracks=2, bars=18, seed=5).write(str(path))
+    remi = check_remi_events(smer_to_remi(tokenize_file(str(path))))
+    assert remi is not None and remi[1].startswith("t_")
+    # an un-decodable stream is rejected
+    assert check_remi_events(["4/4", "100.0", "i_0"]) is None
+
+    out = build_file(str(path), str(tmp_path), seed=1)
+    windows = pickle.load(open(out, "rb"))
+    batch = [w[0] if isinstance(w, tuple) else w for w in windows]
+    assert validate_event_data([batch]) == []
+    # a window that no longer decodes is reported
+    broken = [batch[0][:3]]
+    report = validate_event_data([broken])
+    assert report and report[0]["error"] == "decode failed"
