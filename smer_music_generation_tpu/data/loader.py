@@ -60,7 +60,11 @@ def collate(
     tgt_len = _bucket(max(max(len(d) for d in dins), max(len(d) for d in dtgts)), bucket, max_tgt)
 
     n_rows = len(tokens)
-    B = _bucket(n_rows, row_bucket, max(n_rows, row_bucket)) if row_bucket > 1 else n_rows
+    # round UP to a multiple of row_bucket, uncapped (a cap of n_rows would
+    # silently disable bucketing for every n_rows > row_bucket)
+    B = (
+        int(np.ceil(n_rows / row_bucket)) * row_bucket if row_bucket > 1 else n_rows
+    )
     inp = np.zeros((B, src_len), dtype=np.int32)
     tin = np.zeros((B, tgt_len), dtype=np.int32)
     tout = np.zeros((B, tgt_len), dtype=np.int32)

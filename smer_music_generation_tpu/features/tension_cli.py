@@ -29,6 +29,7 @@ import sys
 import numpy as np
 
 from ..codec.midi import read_midi
+from ..data.build import walk_midi as walk
 from ..utils.logging import logger_init
 from .tension import (
     ALL_KEY_NAMES,
@@ -37,15 +38,6 @@ from .tension import (
     extract_notes,
     key_after_change,
 )
-
-
-def walk(folder: str):
-    out = []
-    for root, _dirs, files in os.walk(folder):
-        for name in sorted(files):
-            if name.lower().endswith((".mid", ".midi")):
-                out.append(os.path.join(root, name))
-    return out
 
 
 def analyze_file(
@@ -71,7 +63,7 @@ def analyze_file(
         grid.down_beat_indices,
         window_size,
         keys,
-        end_ratio=end_ratio if key_changed else 1.0,
+        end_ratio=end_ratio,
     )
     if result is None:
         return None
@@ -80,7 +72,21 @@ def analyze_file(
         return None
     change_time, change_bar = -1.0, -1
     if key_changed:
-        change_bar = detect_key_change(tensile, diameter, start_ratio=end_ratio)
+        # detection always runs on BAR windows (the reference's key-change
+        # branch computes its detection series at window -1, :378-390),
+        # independent of the -w reporting window
+        if window_size == -1:
+            bar_tensile, bar_diam = tensile, diameter
+        else:
+            bar_result = cal_tension(
+                grid.piano_roll, grid.beat_time, grid.beat_indices,
+                grid.down_beat_time, grid.down_beat_indices, -1, keys,
+                end_ratio=end_ratio,
+            )
+            if bar_result is None:
+                return tensile, diameter, found_key, change_time, change_bar, change_name
+            bar_tensile, bar_diam = bar_result[0], bar_result[1]
+        change_bar = detect_key_change(bar_tensile, bar_diam, start_ratio=end_ratio)
         if change_bar != -1 and change_bar < len(grid.down_beat_indices):
             change_time = float(grid.down_beat_time[change_bar])
             after = key_after_change(
@@ -125,7 +131,12 @@ def main(argv=None) -> int:
     files = [args.file_name] if args.file_name else walk(args.input_folder)
     files_result = {}
     for path in files:
-        base = os.path.basename(path)
+        # collision-safe artifact name: relative path with separators
+        # folded, so a/song.mid and b/song.mid don't overwrite each other
+        if args.file_name:
+            base = os.path.basename(path)
+        else:
+            base = os.path.relpath(path, args.input_folder).replace(os.sep, "_")
         try:
             result = analyze_file(
                 path,
@@ -135,8 +146,8 @@ def main(argv=None) -> int:
                 end_ratio=args.end_ratio,
                 key_changed=args.key_changed,
             )
-        except (OSError, ValueError, IndexError, KeyError) as exc:
-            logger.info(f"unexpected error in {path}: {exc!r}")
+        except Exception as exc:  # corpus tool: one bad file must not
+            logger.info(f"unexpected error in {path}: {exc!r}")  # kill the run
             continue
         if result is None:
             logger.info(f"cannot analyze {path}, skip this file")
@@ -147,8 +158,8 @@ def main(argv=None) -> int:
             pickle.dump(np.asarray(tensile), fh)
         with open(stem + ".diameter", "wb") as fh:
             pickle.dump(np.asarray(diameter), fh)
-        files_result[os.path.join(out_dir, base)] = [
-            key, int(change_time), int(change_bar), change_name,
+        files_result[stem] = [
+            key, round(float(change_time), 3), int(change_bar), change_name,
         ]
     logger.info(str(len(files_result)))
     with open(os.path.join(out_dir, "files_result.json"), "w") as fh:

@@ -29,6 +29,7 @@ def fill_empty_bars(
     events: List[str],
     generate_bar_number: int,
     table: DurationTable,
+    mode: int = 0,
 ) -> List[str]:
     """Extend the song with placeholder bars to be infilled.
 
@@ -36,9 +37,12 @@ def fill_empty_bars(
     emits legacy tokens (``a_0``, ``rest_e``) that are not in its own
     vocabulary; here the appended bars follow the live control-mode-2
     layout (``s_2`` tension slot, neutral ``d_0 o_0 y_0`` controls, full-bar
-    rest) so every token is encodable.
+    rest) so every token is encodable.  Mode 1 (REMI) has no rest tokens —
+    an empty bar is simply a track with no onsets.
     """
-    bar_duration_list = table.time_to_names(table.bar_duration)
+    bar_duration_list = (
+        ["rest"] + table.time_to_names(table.bar_duration) if mode == 0 else []
+    )
     track_names = track_names_of(events)
     for _ in range(generate_bar_number):
         events.append("bar")
@@ -46,7 +50,6 @@ def fill_empty_bars(
         for name in track_names:
             events.append(name)
             events.extend(["d_0", "o_0", "y_0"])
-            events.append("rest")
             events.extend(bar_duration_list)
             events.extend(["d_0", "o_0", "y_0"])
         events.append("s_2")
@@ -336,7 +339,10 @@ class InfillEngine:
 
         n_bars = len([e for e in events if e == "bar"])
         if bars_to_generate and bars_to_generate[-1] >= n_bars:
-            events = fill_empty_bars(events, bars_to_generate[-1] - n_bars + 1, table)
+            events = fill_empty_bars(
+                events, bars_to_generate[-1] - n_bars + 1, table,
+                mode=self.vocab.mode,
+            )
 
         result = mask_bar_and_track(events, self.vocab, track_ids, bars_to_generate)
         if result is None:

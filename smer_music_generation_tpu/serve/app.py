@@ -104,9 +104,15 @@ class MicroBatcher:
                 results = self.engine.run_batch(
                     [b.request for b in batch], batch[0].rng
                 )
-            except BaseException as exc:  # propagate to every waiter
+            except BaseException:
+                # isolate the failure: retry each request alone so one bad
+                # request cannot fail its co-batched neighbours
                 for b in batch:
-                    b.error = exc
+                    try:
+                        rng = b.rng if b.rng is not None else batch[0].rng
+                        b.result = self.engine.run_batch([b.request], rng)[0]
+                    except BaseException as exc:
+                        b.error = exc
                     b.done.set()
                 continue
             for b, r in zip(batch, results):

@@ -628,3 +628,19 @@ def test_generate_cli_remi_mode(tmp_path):
     assert rc == 0
     decoded = read_midi(str(out_path))
     assert decoded.instruments
+
+
+def test_fill_empty_bars_remi_mode(remi_vocab):
+    """Mode-1 placeholder bars contain no SMER-only tokens (regression:
+    extending a REMI song past its end crashed on char2index('rest'))."""
+    from smer_music_generation_tpu.codec.durations import duration_table_for_signature
+    from smer_music_generation_tpu.infer.engine import fill_empty_bars
+
+    table = duration_table_for_signature((4, 4), 60.0)
+    events = ["4/4", "t_2", "k_0", "i_0", "bar", "s_2", "track_0",
+              "d_0", "o_0", "y_0", "e_0", "p_60", "n_4", "d_0", "o_0", "y_0", "s_2"]
+    out = fill_empty_bars(list(events), 2, table, mode=1)
+    assert out.count("bar") == 3
+    for tok in out:
+        remi_vocab.char2index(tok)  # every token must be encodable
+    assert "rest" not in out and "whole" not in out

@@ -182,7 +182,6 @@ def test_micro_batcher_caps_group_size():
         t.start()
     for t in threads:
         t.join(timeout=30)
-    assert sorted(engine.calls) in ([2, 2], [1, 2, 2], [1, 1, 2, 2], [1, 1, 1, 2])
     assert sum(engine.calls) == 4
     assert max(engine.calls) <= 2
 
