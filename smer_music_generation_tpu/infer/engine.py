@@ -13,6 +13,7 @@ from dataclasses import dataclass, replace
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..codec.durations import DurationTable, duration_table_for_signature
@@ -306,11 +307,19 @@ class InfillEngine:
         max_tgt_len: int = 1024,
         max_time_fix_attempts: int = 10,
         quant: str = "none",
+        mesh=None,
     ):
+        """``mesh``: a ``parallel.mesh.make_mesh`` device mesh for
+        multi-chip batched serving — parameters are replicated once and
+        every batch's leading axis is sharded over the ``dp`` axis (XLA
+        shards the whole decode program; SURVEY §2.5).  The fused
+        single-chip kernel is bypassed (the XLA decode path partitions
+        transparently under ``jax.sharding``; a pallas call would need
+        explicit shard_map rules)."""
         self.model = model
-        self.params = params
         self.vocab = vocab
         self.max_time_fix_attempts = max_time_fix_attempts
+        self.mesh = mesh
         self.decoder = InfillDecoder(
             model,
             vocab,
@@ -319,6 +328,32 @@ class InfillEngine:
             temperature=temperature,
             greedy=greedy,
             quant=quant,
+            fused=False if mesh is not None else None,
+        )
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding, replicated
+
+            self._batch_sharding = batch_sharding(mesh)
+            params = jax.device_put(params, replicated(mesh))
+        self.params = params
+
+    def _shard_batch(self, arr):
+        """Place a (B, ...) host array on the dp mesh when configured."""
+        if self.mesh is None:
+            return arr
+        B = arr.shape[0]
+        if B % self.mesh.shape["dp"] != 0:
+            return arr  # uneven batch: let XLA place it (still correct)
+        return jax.device_put(jnp.asarray(arr), self._batch_sharding)
+
+    def _dispatch(self, src_b, span_types, n_spans, no_whole, rng):
+        return self.decoder(
+            self.params,
+            self._shard_batch(src_b),
+            self._shard_batch(span_types),
+            self._shard_batch(np.asarray(n_spans)),
+            self._shard_batch(np.asarray(no_whole)),
+            rng,
         )
 
     def prepare(
@@ -390,7 +425,7 @@ class InfillEngine:
             while len(padded) < target:
                 padded.append(replace(requests[-1], span_codes=[]))
             asm = self._assemble(padded)
-            out = self.decoder(self.params, asm[0], asm[1], asm[2], asm[3], rng)
+            out = self._dispatch(asm[0], asm[1], asm[2], asm[3], rng)
             return self._finish_group(
                 padded, rng, asm, out,
                 fix_durations=fix_durations, correct_controls=correct_controls,
@@ -407,9 +442,7 @@ class InfillEngine:
                 grp = padded[i : i + group]
                 rng_g = jax.random.fold_in(rng, i)
                 asm = self._assemble(grp)
-                out = self.decoder(
-                    self.params, asm[0], asm[1], asm[2], asm[3], rng_g
-                )
+                out = self._dispatch(asm[0], asm[1], asm[2], asm[3], rng_g)
                 pending.append((grp, rng_g, asm, out))
             results: List[Optional[InfillResult]] = []
             for grp, rng_g, asm, out in pending:
@@ -422,7 +455,7 @@ class InfillEngine:
                 )
             return results[:B]
         asm = self._assemble(requests)
-        out = self.decoder(self.params, asm[0], asm[1], asm[2], asm[3], rng)
+        out = self._dispatch(asm[0], asm[1], asm[2], asm[3], rng)
         return self._finish_group(
             requests, rng, asm, out,
             fix_durations=fix_durations, correct_controls=correct_controls,
@@ -481,9 +514,7 @@ class InfillEngine:
             out = (
                 out0
                 if attempt == 0
-                else self.decoder(
-                    self.params, src_b, span_types, live, no_whole, rng_try
-                )
+                else self._dispatch(src_b, span_types, live, no_whole, rng_try)
             )
             # single host transfer: over a remote/tunnelled backend every
             # device->host fetch pays a full round trip

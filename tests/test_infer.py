@@ -644,3 +644,29 @@ def test_fill_empty_bars_remi_mode(remi_vocab):
     for tok in out:
         remi_vocab.char2index(tok)  # every token must be encodable
     assert "rest" not in out and "whole" not in out
+
+
+def test_engine_run_batch_over_mesh(vocab, mode2_events, tiny_engine):
+    """InfillEngine(mesh=...) serves a batch dp-sharded over 8 virtual
+    devices with results identical to the unsharded engine."""
+    from smer_music_generation_tpu.infer.engine import InfillEngine
+    from smer_music_generation_tpu.parallel.mesh import make_mesh
+
+    events, _ = mode2_events
+    base = InfillEngine(
+        tiny_engine.model, tiny_engine.params, vocab, nucleus_p=0.9,
+        max_tgt_len=512, max_time_fix_attempts=1,
+    )
+    sharded = InfillEngine(
+        tiny_engine.model, tiny_engine.params, vocab, nucleus_p=0.9,
+        max_tgt_len=512, max_time_fix_attempts=1, mesh=make_mesh(8, tp=1),
+    )
+    reqs_a = [base.prepare(events, [0], [b]) for b in range(8)]
+    reqs_b = [sharded.prepare(events, [0], [b]) for b in range(8)]
+    rng = jax.random.PRNGKey(21)
+    out_a = base.run_batch(reqs_a, rng)
+    out_b = sharded.run_batch(reqs_b, rng)
+    assert len(out_a) == len(out_b) == 8
+    for a, b in zip(out_a, out_b):
+        assert a is not None and b is not None
+        assert a.events == b.events
