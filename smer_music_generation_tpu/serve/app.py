@@ -130,10 +130,11 @@ class ServingContext:
 
     def __init__(self, model, params, vocab: WordVocab, nucleus_p: float = 0.9,
                  temperature: float = 1.0, batch_window_ms: float = 8.0,
-                 max_batch: int = 8):
+                 max_batch: int = 8, mesh=None):
         self.vocab = vocab
         self.engine = InfillEngine(
-            model, params, vocab, nucleus_p=nucleus_p, temperature=temperature
+            model, params, vocab, nucleus_p=nucleus_p, temperature=temperature,
+            mesh=mesh,
         )
         self.batcher = (
             MicroBatcher(self.engine, max_batch=max_batch,

@@ -33,6 +33,9 @@ def main(argv=None) -> int:
                         help="coalesce concurrent /generate requests into "
                         "batched decodes for up to this many ms (0 = off)")
     parser.add_argument("--max_batch", type=int, default=8)
+    parser.add_argument("--dp", type=int, default=0,
+                        help="shard batched serving over a dp mesh of N "
+                        "devices (0/1 = single-chip fused kernel)")
     args = parser.parse_args(argv)
 
     from ..utils.cache import enable_persistent_cache
@@ -59,10 +62,16 @@ def main(argv=None) -> int:
     else:
         logger.warning("serving with RANDOM weights (no --checkpoint given)")
 
+    mesh = None
+    if args.dp > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.dp, tp=1)
+        logger.info(f"dp-sharded serving over {args.dp} devices")
     ctx = ServingContext(
         model, params, vocab, nucleus_p=args.nucleus_p,
         temperature=args.temperature, batch_window_ms=args.batch_window_ms,
-        max_batch=args.max_batch,
+        max_batch=args.max_batch, mesh=mesh,
     )
     server = serve(ctx, host=args.host, port=args.port)
     logger.info(f"serving on {server.server_address}")

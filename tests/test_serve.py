@@ -223,3 +223,30 @@ def test_http_concurrent_generates_batched(server_url):
     for out in outs:
         assert out is not None and "events" in out, out
         assert "m_0" not in out["events"]
+
+
+def test_serving_context_with_mesh():
+    """The serving stack accepts a dp mesh (8 virtual CPU devices) and
+    still produces well-formed generates through the batcher."""
+    from smer_music_generation_tpu.parallel.mesh import make_mesh
+
+    vocab = WordVocab(0, CONTROL_SETS[5])
+    cfg = ModelConfig(
+        vocab_size=vocab.vocab_size, d_model=32, nhead=4, num_encoder_layers=1,
+        num_decoder_layers=1, d_ff=64, max_len=2048, dropout=0.0, pos_dropout=0.0,
+    )
+    model = ScoreTransformer(cfg)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.ones((1, 8), jnp.int32), jnp.ones((1, 8), jnp.int32),
+    )
+    ctx = ServingContext(model, params, vocab, mesh=make_mesh(8, tp=1))
+    enc = ctx.handle_encode({"notes": plugin_payload(), "controls": {}})
+    events, controls = enc["events"], enc["controls"]
+    controls["bar_track"] = 0
+    controls["track_0_c"] = controls["track_0"]
+    controls["track_1_c"] = controls["track_1"]
+    gen = ctx.handle_generate(
+        {"events": events, "controls": controls, "tracks": [0], "bars": [1]}
+    )
+    assert "events" in gen and "m_0" not in gen["events"]
