@@ -670,3 +670,53 @@ def test_engine_run_batch_over_mesh(vocab, mode2_events, tiny_engine):
     for a, b in zip(out_a, out_b):
         assert a is not None and b is not None
         assert a.events == b.events
+
+
+@pytest.mark.parametrize("sig,mode", [((4, 4), 0), ((3, 4), 0), ((6, 8), 0),
+                                      ((4, 4), 1), ((3, 4), 1)])
+def test_engine_fuzz_signatures_and_modes(sig, mode):
+    """Random scores x random mask configs through the full engine: every
+    result must be encodable, well-formed and decodable to MIDI."""
+    from smer_music_generation_tpu.codec.remi import remi_to_midi, smer_to_remi
+    from smer_music_generation_tpu.infer.engine import InfillEngine
+    from smer_music_generation_tpu.vocab import CONTROL_SETS, WordVocab
+    from tests.test_smer_codec import make_score
+
+    fuzz_vocab = WordVocab(mode, CONTROL_SETS[5])
+    cfg = ModelConfig(
+        vocab_size=fuzz_vocab.vocab_size, d_model=32, nhead=4,
+        num_encoder_layers=1, num_decoder_layers=1, d_ff=64, max_len=2048,
+        dropout=0.0, pos_dropout=0.0,
+    )
+    model = ScoreTransformer(cfg)
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        jnp.ones((1, 8), jnp.int32), jnp.ones((1, 8), jnp.int32))
+    engine = InfillEngine(model, params, fuzz_vocab, nucleus_p=0.9,
+                          max_tgt_len=512, max_time_fix_attempts=1)
+
+    rng = np.random.default_rng(sig[0] * 100 + mode)
+    for trial in range(3):
+        score = make_score(sig=sig, tracks=int(rng.integers(1, 3)),
+                           bars=int(rng.integers(3, 8)), seed=int(rng.integers(1000)))
+        enc = encode_midi(score, controls={"key": None},
+                          track_names=[f"track_{i}" for i in range(len(score.instruments))])
+        if enc is None:
+            continue
+        events, controls = enc
+        if mode == 1:
+            events = smer_to_remi(events)
+        controls["bar_track"] = 0
+        for i in range(len(score.instruments)):
+            controls[f"track_{i}_c"] = controls[f"track_{i}"]
+        events = change_controls(events, controls, fuzz_vocab)
+        n_bars = events.count("bar")
+        tracks = [int(rng.integers(0, len(score.instruments)))]
+        # sometimes extend past the end of the song
+        last = int(rng.integers(0, n_bars + 2))
+        result = engine(events, tracks, [last], rng=jax.random.PRNGKey(trial))
+        assert result is not None, (sig, mode, trial)
+        out = result.events
+        assert "m_0" not in out
+        fuzz_vocab.encode(out)  # everything in-vocabulary
+        decoded = (remi_to_midi if mode == 1 else events_to_midi)(out, 100.0)
+        assert decoded is not None, (sig, mode, trial)
