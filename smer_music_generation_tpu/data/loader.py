@@ -136,3 +136,42 @@ class BatchLoader:
             )
             if batch is not None:
                 yield batch
+
+
+class Prefetcher:
+    """Background-thread batch prefetch (depth-bounded).
+
+    The reference's DataLoader used one worker process
+    (``train.py:504,531``); here host-side masking/collation overlaps the
+    device step via a daemon thread and a small queue.  Wrap any iterable
+    of batches; iteration order is preserved.
+    """
+
+    def __init__(self, iterable, depth: int = 2):
+        import queue as _queue
+        import threading
+
+        self._queue: "_queue.Queue" = _queue.Queue(maxsize=depth)
+        self._sentinel = object()
+        self._error = None
+
+        def worker():
+            try:
+                for item in iterable:
+                    self._queue.put(item)
+            except BaseException as exc:  # surfaced on the consumer side
+                self._error = exc
+            finally:
+                self._queue.put(self._sentinel)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        while True:
+            item = self._queue.get()
+            if item is self._sentinel:
+                if self._error is not None:
+                    raise self._error
+                return
+            yield item

@@ -135,7 +135,9 @@ class Trainer:
         acc_count = defaultdict(float)
         names = self.tables["class_names"]
         timer = StepTimer("train_step")
-        for step, batch in enumerate(loader):
+        from ..data.loader import Prefetcher
+
+        for step, batch in enumerate(Prefetcher(iter(loader), depth=2)):
             self._rng, sub = jax.random.split(self._rng)
             try:
                 with timer:

@@ -235,3 +235,22 @@ def test_collate_buckets_row_count_with_neutral_dummies(vocab):
     real = loss_of(batch, 5)
     assert np.isfinite(full)
     np.testing.assert_allclose(full, real, rtol=1e-5)
+
+
+def test_prefetcher_preserves_order_and_errors():
+    from smer_music_generation_tpu.data.loader import Prefetcher
+
+    assert list(Prefetcher(iter(range(10)), depth=3)) == list(range(10))
+    assert list(Prefetcher(iter([]), depth=1)) == []
+
+    def boom():
+        yield 1
+        yield 2
+        raise RuntimeError("loader died")
+
+    it = iter(Prefetcher(boom(), depth=1))
+    assert next(it) == 1 and next(it) == 2
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="loader died"):
+        next(it)
