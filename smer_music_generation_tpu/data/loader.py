@@ -154,24 +154,54 @@ class Prefetcher:
         self._queue: "_queue.Queue" = _queue.Queue(maxsize=depth)
         self._sentinel = object()
         self._error = None
+        self._stop = threading.Event()
 
         def worker():
             try:
                 for item in iterable:
-                    self._queue.put(item)
+                    # bounded put that notices close(): an abandoned
+                    # consumer must not leave this thread blocked forever
+                    while not self._stop.is_set():
+                        try:
+                            self._queue.put(item, timeout=0.1)
+                            break
+                        except _queue.Full:
+                            continue
+                    if self._stop.is_set():
+                        return
             except BaseException as exc:  # surfaced on the consumer side
                 self._error = exc
             finally:
-                self._queue.put(self._sentinel)
+                # same patient put as items: with a full queue put_nowait
+                # would DROP the sentinel and block the consumer forever
+                while not self._stop.is_set():
+                    try:
+                        self._queue.put(self._sentinel, timeout=0.1)
+                        break
+                    except _queue.Full:
+                        continue
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
 
-    def __iter__(self):
+    def close(self):
+        """Release the worker thread (idempotent)."""
+        self._stop.set()
         while True:
-            item = self._queue.get()
-            if item is self._sentinel:
-                if self._error is not None:
-                    raise self._error
-                return
-            yield item
+            try:
+                self._queue.get_nowait()
+            except Exception:
+                break
+        self._thread.join(timeout=1.0)
+
+    def __iter__(self):
+        try:
+            while True:
+                item = self._queue.get()
+                if item is self._sentinel:
+                    if self._error is not None:
+                        raise self._error
+                    return
+                yield item
+        finally:
+            self.close()

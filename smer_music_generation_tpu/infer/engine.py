@@ -320,6 +320,12 @@ class InfillEngine:
         self.vocab = vocab
         self.max_time_fix_attempts = max_time_fix_attempts
         self.mesh = mesh
+        if mesh is not None and quant != "none":
+            raise ValueError(
+                "dp-sharded serving (mesh=...) uses the XLA decode path and "
+                "does not support quantized weight streaming; drop quant or "
+                "the mesh"
+            )
         self.decoder = InfillDecoder(
             model,
             vocab,
@@ -415,6 +421,24 @@ class InfillEngine:
         # dispatch is asynchronous, so the device pipelines group k+1 while
         # the host is fetching/restoring group k.
         group = 8
+        if self.mesh is not None:
+            # dp-sharded serving: the batch axis must divide the dp mesh
+            # axis for the sharding to engage (and to keep the program
+            # count at one per dp-multiple); pad with done-at-start
+            # dummies, decode once, slice the padding off
+            dp = int(self.mesh.shape["dp"])
+            if B % dp != 0:
+                target = int(np.ceil(B / dp)) * dp
+                padded = list(requests)
+                while len(padded) < target:
+                    padded.append(replace(requests[-1], span_codes=[]))
+                asm = self._assemble(padded)
+                out = self._dispatch(asm[0], asm[1], asm[2], asm[3], rng)
+                return self._finish_group(
+                    padded, rng, asm, out,
+                    fix_durations=fix_durations,
+                    correct_controls=correct_controls,
+                )[:B]
         if self.decoder.fused and 1 < B < group and B != 4:
             # the fused kernel only compiles at lane-tileable batch sizes
             # (B == 1 or B % 4 == 0 — see decode.py's fused gate); pad odd

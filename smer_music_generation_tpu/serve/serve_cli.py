@@ -66,6 +66,10 @@ def main(argv=None) -> int:
     if args.dp > 1:
         from ..parallel.mesh import make_mesh
 
+        n_avail = jax.device_count()
+        if args.dp > n_avail:
+            logger.error(f"--dp {args.dp} exceeds the {n_avail} available device(s)")
+            return 1
         mesh = make_mesh(args.dp, tp=1)
         logger.info(f"dp-sharded serving over {args.dp} devices")
     ctx = ServingContext(

@@ -720,3 +720,33 @@ def test_engine_fuzz_signatures_and_modes(sig, mode):
         fuzz_vocab.encode(out)  # everything in-vocabulary
         decoded = (remi_to_midi if mode == 1 else events_to_midi)(out, 100.0)
         assert decoded is not None, (sig, mode, trial)
+
+
+def test_engine_mesh_pads_batch_to_dp_multiple(vocab, mode2_events, tiny_engine):
+    """With a mesh, run_batch pads B to a dp multiple so sharding engages
+    (and mesh + quant is rejected with a clear error)."""
+    from smer_music_generation_tpu.infer.engine import InfillEngine
+    from smer_music_generation_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8, tp=1)
+    with pytest.raises(ValueError, match="dp-sharded serving"):
+        InfillEngine(tiny_engine.model, tiny_engine.params, vocab,
+                     quant="int8", mesh=mesh)
+
+    engine = InfillEngine(
+        tiny_engine.model, tiny_engine.params, vocab, nucleus_p=0.9,
+        max_tgt_len=512, max_time_fix_attempts=1, mesh=mesh,
+    )
+    seen = []
+    orig = engine._dispatch
+
+    def spy(src_b, span_types, n_spans, no_whole, rng):
+        seen.append(int(src_b.shape[0]))
+        return orig(src_b, span_types, n_spans, no_whole, rng)
+
+    engine._dispatch = spy
+    events, _ = mode2_events
+    reqs = [engine.prepare(events, [0], [b]) for b in (1, 2, 3)]
+    results = engine.run_batch(reqs, jax.random.PRNGKey(3))
+    assert len(results) == 3 and all(r is not None for r in results)
+    assert all(b % 8 == 0 for b in seen), seen

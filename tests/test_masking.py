@@ -254,3 +254,18 @@ def test_prefetcher_preserves_order_and_errors():
 
     with _pytest.raises(RuntimeError, match="loader died"):
         next(it)
+
+
+def test_prefetcher_close_releases_abandoned_worker():
+    import threading
+
+    from smer_music_generation_tpu.data.loader import Prefetcher
+
+    before = threading.active_count()
+    pf = Prefetcher(iter(range(100)), depth=1)
+    it = iter(pf)
+    assert next(it) == 0
+    pf.close()  # consumer abandons mid-stream
+    pf._thread.join(timeout=5)
+    assert not pf._thread.is_alive()
+    assert threading.active_count() <= before + 1
