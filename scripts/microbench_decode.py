@@ -44,6 +44,7 @@ def main():
     ap.add_argument("--src-len", type=int, default=1024)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--quant", default="none", choices=["none", "int8"])
+    ap.add_argument("--token-chunk", type=int, default=1)
     ap.add_argument("--full-only", action="store_true",
                     help="skip the floor/step/sample isolation loops")
     args = ap.parse_args()
@@ -170,7 +171,7 @@ def _full_decode(args, model, vocab, params, src, L, B):
     from smer_music_generation_tpu.infer.decode import InfillDecoder
 
     decoder = InfillDecoder(model, vocab, max_tgt_len=L, nucleus_p=0.9,
-                            quant=args.quant)
+                            quant=args.quant, token_chunk=args.token_chunk)
     span_types = np.zeros((B, decoder.max_spans), np.int32)
     n_spans = np.full((B,), 64, np.int32)
 
@@ -186,7 +187,8 @@ def _full_decode(args, model, vocab, params, src, L, B):
         jax.block_until_ready(out.tokens)
         best = min(best, time.perf_counter() - t0)
     steps = int(out.steps)
-    print(f"full_decode  : {best / steps * 1e6:8.1f} us/tok  ({steps} steps, quant={args.quant})")
+    print(f"full_decode  : {best / steps * 1e6:8.1f} us/tok  ({steps} steps, "
+          f"quant={args.quant}, chunk={args.token_chunk})")
 
 
 if __name__ == "__main__":

@@ -87,6 +87,11 @@ class InfillDecoder:
     # differ from the bf16 path by the quantization error (~0.5% relative);
     # grammar legality is unaffected (masks are exact).  Requires ``fused``.
     quant: str = "none"
+    # >1: decode this many tokens per pallas program ("kernel looping",
+    # grid (T_chunk, n_layers) with the KV cache appended in-kernel) —
+    # amortizes per-token kernel-launch + XLA loop-op overhead.  Requires
+    # the fused-sampling path; token-exact with token_chunk=1.
+    token_chunk: int = 1
     interpret: bool = False  # run the fused kernel interpreted (CPU tests)
 
     def __post_init__(self):
@@ -168,6 +173,11 @@ class InfillDecoder:
             cross_kv = stack_kv_cache(cross, nl)
             cross_len = jnp.sum(~src_pad, axis=1).astype(jnp.int32)
             if self.fused_sampling:
+                if self.token_chunk > 1:
+                    return InfillDecoder._decode_v4(
+                        self, t, cfg, packed, cross_kv, cross_len,
+                        span_types, n_spans, no_whole, rng, B, L,
+                    )
                 return InfillDecoder._decode_v3(
                     self, t, cfg, packed, cross_kv, cross_len,
                     span_types, n_spans, no_whole, rng, B, L,
@@ -318,6 +328,74 @@ class InfillDecoder:
 
         carry = (jnp.int32(0), state0, out, cache)
         pos, state, out, cache = jax.lax.while_loop(cond, body, carry)
+        return DecodeResult(tokens=out, lengths=state[ST_LEN], steps=pos)
+
+    def _decode_v4(
+        self, t, cfg, packed, cross_kv, cross_len, span_types, n_spans,
+        no_whole, rng, B, L,
+    ) -> DecodeResult:
+        """Kernel-looped decode: token_chunk tokens per pallas program."""
+        from ..ops.decode_step import fused_decode_tokens
+
+        T_chunk = self.token_chunk
+        vpad = vocab_pad(t.vocab_size)
+        if self.greedy:
+            noise = jnp.zeros((L, B, vpad), jnp.float32)
+        else:
+            noise = jax.random.gumbel(rng, (L, B, vpad), dtype=jnp.float32)
+        out = jnp.zeros((B, L), jnp.int32).at[:, 0].set(t.mask_index)
+        state0 = jnp.stack(
+            [
+                jnp.full((B,), t.mask_index, jnp.int32),  # ST_TOKEN
+                jnp.zeros((B,), jnp.int32),  # ST_BITS
+                jnp.ones((B,), jnp.int32),  # ST_STEPS
+                jnp.zeros((B,), jnp.int32),  # ST_SPAN
+                (n_spans <= 0).astype(jnp.int32),  # ST_DONE
+                jnp.ones((B,), jnp.int32),  # ST_LEN
+            ]
+        )
+        aux = jnp.stack(
+            [
+                n_spans.astype(jnp.int32),
+                jnp.broadcast_to(jnp.asarray(no_whole), (B,)).astype(jnp.int32),
+            ]
+        )
+        cache = jnp.zeros(
+            (cfg.num_decoder_layers, B, L, 2 * cfg.d_model), cfg.dtype
+        )
+
+        def cond(carry):
+            pos, state, out, cache = carry
+            return (pos + T_chunk < L) & jnp.any(state[ST_DONE] == 0)
+
+        def body(carry):
+            pos, state, out, cache = carry
+            new_state, tokens, new_kv = fused_decode_tokens(
+                packed, self.sampling_tables, state, aux, span_types, noise,
+                cache, cross_kv, pos, cross_len,
+                n_layers=cfg.num_decoder_layers, d_model=cfg.d_model,
+                nhead=cfg.nhead, d_ff=cfg.d_ff, vpad=vpad, mode=t.mode,
+                max_spans=self.max_spans, span_cap=self.span_cap,
+                eos_index=t.eos_index, mask_index=t.mask_index,
+                nucleus_p=self.nucleus_p, temperature=self.temperature,
+                greedy=self.greedy, n_sid=N_SID, span_body=SPAN_BODY,
+                T_chunk=T_chunk, interpret=self.interpret,
+            )
+            out = jax.lax.dynamic_update_slice(out, tokens.T, (0, pos + 1))
+            # splice the whole chunk's K/V rows at once: (nl,T,B,2D)->(nl,B,T,2D)
+            cache = jax.lax.dynamic_update_slice(
+                cache, jnp.transpose(new_kv, (0, 2, 1, 3)).astype(cache.dtype),
+                (0, 0, pos, 0),
+            )
+            return pos + T_chunk, new_state, out, cache
+
+        carry = (jnp.int32(0), state0, out, cache)
+        pos, state, out, cache = jax.lax.while_loop(cond, body, carry)
+        # chunked stepping may overshoot a mid-chunk finish: ST_LEN already
+        # records the true lengths, and tokens past the per-element length
+        # are 0 (done elements emit pad) — mask defensively anyway
+        valid = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1) < state[ST_LEN][:, None]
+        out = jnp.where(valid, out, 0)
         return DecodeResult(tokens=out, lengths=state[ST_LEN], steps=pos)
 
 

@@ -206,6 +206,7 @@ def _flash_attend(
     kvbuf, sems,  # VMEM (2, CHUNK, 2D), DMA sems (2,)
     H: int, HD: int,
     extra_kv=None,  # optional (k_row (D,), v_row (D,)) appended position
+    chunk_block=None,  # optional (rows (Tc, 2D) f32, t_valid): in-VMEM rows
 ):
     """Online-softmax attention of one query against a chunked HBM cache."""
     D = H * HD
@@ -257,6 +258,29 @@ def _flash_attend(
     acc0 = jnp.zeros((1, D), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, max_chunks, body, (m0, l0, acc0))
 
+    if chunk_block is not None:
+        # rows decoded earlier in the current kernel-looped chunk: they
+        # live only in VMEM (the HBM cache is spliced after the call)
+        rows2d, t_valid = chunk_block  # (Tc, 2D) f32
+        Tc = rows2d.shape[0]
+        kc = rows2d[:, :D]
+        vc = rows2d[:, D:]
+        sc = _head_sums(kc * q_b[None, :], M) * scale  # (Tc, H)
+        riota = jax.lax.broadcasted_iota(jnp.int32, (Tc, H), 0)
+        sc = jnp.where(riota < t_valid, sc, -jnp.inf)
+        riota_d = jax.lax.broadcasted_iota(jnp.int32, (Tc, D), 0)
+        vc = jnp.where(riota_d < t_valid, vc, 0.0)  # scratch rows >= t are garbage
+        m_c = jnp.max(sc, axis=0, keepdims=True)
+        m_new = jnp.maximum(m, m_c)
+        safe = jnp.where(m_new == -jnp.inf, 0.0, m_new)
+        alpha = jnp.exp(m - safe)
+        p = jnp.exp(sc - safe)
+        l = l * alpha + jnp.sum(p, axis=0, keepdims=True)
+        acc = acc * _head_expand(alpha, MT) + jnp.sum(
+            _head_expand(p, MT) * vc, axis=0, keepdims=True
+        )
+        m = m_new
+
     if extra_kv is not None:
         k_row, v_row = extra_kv  # (D,) f32 each
         s = _head_sums((k_row * q_b)[None, :], M) * scale  # (1, H)
@@ -273,7 +297,7 @@ def _layer_body(
     x, i, scalars, w_attn, bias, ln, w_ff1, w_ff2,
     self_kv, cross_kv, newkv_ref, kvbuf, sems,
     *, B: int, D: int, H: int, L: int, S: int, F: int,
-    scale=None,
+    scale=None, chunk_kv=None, chunk_t=None,
 ):
     """One decoder layer on the (B, D) f32 activation (shared by the v2
     step kernel and the v3 whole-token kernel).
@@ -313,6 +337,9 @@ def _layer_body(
     v_new = qkv[:, 2 * D :]
     newkv_ref[0] = qkv[:, D:].astype(newkv_ref.dtype)  # (B, 2D) interleaved row
 
+    # kernel-looped (v4) path: rows decoded earlier in this chunk live in
+    # the VMEM scratch, not yet in the HBM cache
+    chunk_rows = chunk_kv[i] if chunk_kv is not None else None  # (Tc, B*2D)
     att_rows = []
     for b in range(B):
         att_rows.append(
@@ -323,6 +350,11 @@ def _layer_body(
                 L // CHUNK,
                 kvbuf, sems, H, HD,
                 extra_kv=(k_new[b], v_new[b]),
+                chunk_block=(
+                    (chunk_rows[:, b * 2 * D : (b + 1) * 2 * D], chunk_t)
+                    if chunk_rows is not None
+                    else None
+                ),
             )
         )
     att = jnp.concatenate(att_rows, axis=0)  # (B, D) f32
@@ -869,3 +901,236 @@ def fused_decode_token(
         interpret=interpret,
     )(*args)
     return new_state, new_kv
+
+
+# ---------------------------------------------------------------------------
+# v4: kernel-looped multi-token decode — grid (T_chunk, n_layers)
+# ---------------------------------------------------------------------------
+
+
+def _kernel_v4(
+    # scalar-prefetch (SMEM)
+    scalars, state, aux, span_types, sid_tbl,
+    emb, w_attn, bias, ln, w_ff1, w_ff2, fc_w, fc_b, masks_f, class_mat,
+    noise, self_kv, cross_kv,  # noise + caches in HBM
+    # optional inputs in order: scale strip (quant), final LN (fin); then
+    # outputs (state_out, tokens_out, newkv_out) and scratch
+    # (st_s, x_s, kvrow, chunk_kv, kvbuf, sems, gbuf, gsem)
+    *rest,
+    B: int, D: int, H: int, L: int, S: int, F: int, n_layers: int,
+    vpad: int, mode: int, max_spans: int, span_cap: int, eos_index: int,
+    mask_index: int, nucleus_p, temperature: float, greedy: bool,
+    n_sid: int, span_body: int, T_chunk: int,
+    quant: bool = False, fin: bool = False,
+):
+    """Decode ``T_chunk`` tokens in ONE pallas program ("kernel looping"):
+    the sequential grid carries sampling state in SMEM scratch; each
+    token's K/V rows are kept in a VMEM chunk buffer so later tokens in
+    the chunk attend to earlier ones without returning to XLA, and the
+    whole chunk is emitted as one block for a single cache splice.
+    Token-exact with the single-step v3 kernel (same math, same noise
+    rows by absolute position).
+    """
+    rest = list(rest)
+    scale = rest.pop(0) if quant else None
+    fin_ln = rest.pop(0) if fin else None
+    (state_out, tokens_out, newkv_out,
+     st_s, x_s, kvrow, chunk_kv, kvbuf, sems, gbuf, gsem) = rest
+    t = pl.program_id(0)
+    i = pl.program_id(1)
+    index = scalars[0] + t
+
+    @pl.when((t == 0) & (i == 0))
+    def _():
+        for c in range(6):
+            for b in range(B):
+                st_s[c, b] = state[c, b]
+
+    @pl.when(i == 0)
+    def _():
+        if not greedy:
+            pltpu.make_async_copy(noise.at[index], gbuf, gsem).start()
+        rows = []
+        for b in range(B):
+            tok = st_s[ST_TOKEN, b]
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, vpad), 1) == tok
+            ).astype(emb.dtype)
+            rows.append(
+                jnp.dot(onehot, emb[:], preferred_element_type=jnp.float32)
+            )
+        x = jnp.concatenate(rows, axis=0) * math.sqrt(D)  # (B, D)
+        x_s[:] = x + _pe_row(index, D)
+
+    # the sampler needs the per-token absolute position; _layer_body's
+    # self-attention n_valid must stay at the chunk BASE (rows decoded
+    # earlier in this chunk are only in the VMEM chunk buffer, not yet in
+    # the HBM cache — they enter via chunk_kv/chunk_t)
+    idx_scalars = [index] + [scalars[1 + b] for b in range(B)]
+
+    class _IdxView:
+        def __getitem__(self, k):
+            return idx_scalars[k]
+
+    x = _layer_body(
+        x_s[:], i, scalars, w_attn, bias, ln, w_ff1, w_ff2,
+        self_kv, cross_kv, kvrow, kvbuf, sems,
+        B=B, D=D, H=H, L=L, S=S, F=F, scale=scale,
+        chunk_kv=chunk_kv, chunk_t=t,
+    )
+    x_s[:] = x
+    # stash this layer's new K|V row for the chunk: (T_chunk, B*2D) layout
+    # keeps every access leading-dim indexed / minor-static (tiling-legal)
+    chunk_kv[i, t] = kvrow[0].reshape(B * 2 * D).astype(jnp.float32)
+
+    @pl.when(i == n_layers - 1)
+    def _():
+        y = _layernorm(x, fin_ln[0], fin_ln[1]) if fin else x
+        logits = jnp.dot(y, fc_w[:], preferred_element_type=jnp.float32) + fc_b[:]
+        if not greedy:
+            pltpu.make_async_copy(noise.at[index], gbuf, gsem).wait()
+        for b in range(B):
+            g_b = None if greedy else gbuf[b : b + 1, :]
+            _sample_and_advance_b(
+                b, logits[b : b + 1, :], g_b, _IdxView(), st_s, aux,
+                span_types, sid_tbl, masks_f, class_mat, st_s,
+                mode=mode, max_spans=max_spans, span_cap=span_cap,
+                eos_index=eos_index, mask_index=mask_index,
+                nucleus_p=nucleus_p, temperature=temperature, greedy=greedy,
+                vpad=vpad, n_sid=n_sid, span_body=span_body,
+            )
+            tokens_out[t, b] = st_s[ST_TOKEN, b]
+
+        @pl.when(t == T_chunk - 1)
+        def _():
+            for c in range(6):
+                for b in range(B):
+                    state_out[c, b] = st_s[c, b]
+            for li in range(n_layers):
+                newkv_out[li] = (
+                    chunk_kv[li].reshape(T_chunk, B, 2 * D).astype(newkv_out.dtype)
+                )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_layers", "d_model", "nhead", "d_ff", "vpad", "mode", "max_spans",
+        "span_cap", "eos_index", "mask_index", "nucleus_p", "temperature",
+        "greedy", "n_sid", "span_body", "T_chunk", "interpret",
+    ),
+)
+def fused_decode_tokens(
+    packed: Dict[str, jax.Array],
+    tables: Dict[str, jax.Array],
+    state: jax.Array,  # (6, B) int32
+    aux: jax.Array,  # (2, B) int32
+    span_types: jax.Array,  # (B, max_spans) int32
+    noise: jax.Array,  # (L, B, vpad) f32 gumbel
+    self_kv: jax.Array,  # (nl, B, L, 2D)
+    cross_kv: jax.Array,  # (nl, B, S, 2D)
+    index,  # base position
+    cross_len: jax.Array,  # (B,)
+    *,
+    n_layers: int, d_model: int, nhead: int, d_ff: int, vpad: int,
+    mode: int, max_spans: int, span_cap: int, eos_index: int,
+    mask_index: int, nucleus_p, temperature: float, greedy: bool,
+    n_sid: int, span_body: int, T_chunk: int, interpret: bool = False,
+):
+    """Kernel-looped decode of ``T_chunk`` tokens; returns
+    ``(new_state, tokens (T_chunk, B), new_kv (nl, T_chunk, B, 2D))``."""
+    nl, B, L, _ = self_kv.shape
+    S = cross_kv.shape[2]
+    D, F = d_model, d_ff
+    dt = self_kv.dtype
+    quant = "scale" in packed
+    fin = "fin_ln" in packed
+
+    scalars = jnp.concatenate(
+        [jnp.asarray(index, jnp.int32)[None], cross_len.astype(jnp.int32)]
+    )
+
+    def layer_block(shape, buffers=2):
+        return pl.BlockSpec(
+            (1, *shape),
+            lambda t, i, *_refs: (i, *([0] * len(shape))),
+            pipeline_mode=pl.Buffered(buffer_count=buffers),
+        )
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # emb
+        layer_block((D, 6 * D)),  # w_attn
+        layer_block((1, 7 * D + F)),  # bias strip
+        layer_block((6, D)),  # ln
+        layer_block((D, F)),  # w_ff1
+        layer_block((F, D), buffers=2 if quant else 1),  # w_ff2
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # fc_w
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # fc_b
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # masks_f
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # class_mat
+        pl.BlockSpec(memory_space=pl.ANY),  # noise
+        pl.BlockSpec(memory_space=pl.ANY),  # self_kv
+        pl.BlockSpec(memory_space=pl.ANY),  # cross_kv
+    ]
+    if quant:
+        in_specs.append(layer_block((1, 7 * D + F)))  # scale strip
+    if fin:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # fin_ln
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(T_chunk, n_layers),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # state_out
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # tokens_out
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # newkv_out (whole)
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((6, B), jnp.int32),  # st_s carry
+            pltpu.VMEM((B, D), jnp.float32),  # x_s
+            pltpu.VMEM((1, B, 2 * D), dt),  # kvrow staging
+            pltpu.VMEM((n_layers, T_chunk, B * 2 * D), jnp.float32),  # chunk_kv
+            pltpu.VMEM((2, CHUNK, 2 * D), dt),  # kvbuf
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((B, vpad), jnp.float32),  # gumbel row buffer
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    kernel = functools.partial(
+        _kernel_v4, B=B, D=D, H=nhead, L=L, S=S, F=F, n_layers=n_layers,
+        vpad=vpad, mode=mode, max_spans=max_spans, span_cap=span_cap,
+        eos_index=eos_index, mask_index=mask_index, nucleus_p=nucleus_p,
+        temperature=temperature, greedy=greedy, n_sid=n_sid,
+        span_body=span_body, T_chunk=T_chunk, quant=quant, fin=fin,
+    )
+    args = [
+        scalars,
+        state.astype(jnp.int32),
+        aux.astype(jnp.int32),
+        span_types.astype(jnp.int32),
+        tables["sid_tbl"],
+        packed["emb"],
+        packed["w_attn"], packed["bias"], packed["ln"],
+        packed["w_ff1"], packed["w_ff2"],
+        packed["fc_w"], packed["fc_b"],
+        tables["state_masks_f"], tables["class_mat"],
+        noise,
+        self_kv, cross_kv,
+    ]
+    if quant:
+        args.append(packed["scale"])
+    if fin:
+        args.append(packed["fin_ln"])
+    new_state, tokens, new_kv = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((6, B), jnp.int32),
+            jax.ShapeDtypeStruct((T_chunk, B), jnp.int32),
+            jax.ShapeDtypeStruct((nl, T_chunk, B, 2 * D), dt),
+        ),
+        interpret=interpret,
+    )(*args)
+    return new_state, tokens, new_kv

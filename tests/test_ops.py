@@ -397,3 +397,36 @@ def test_quant_requires_fused():
     cfg, model, params, _ = _decode_fixture(V=vocab.vocab_size, nl=2)
     with _pytest.raises(ValueError):
         InfillDecoder(model, vocab, fused=False, quant="int8")
+
+
+def test_kernel_looped_v4_matches_v3():
+    """v4 (token_chunk=4, KV appended in-kernel) must be token-exact vs v3
+    under both greedy and nucleus decoding (same noise rows by position)."""
+    from smer_music_generation_tpu.infer.decode import InfillDecoder, pad_to_bucket
+    from smer_music_generation_tpu.vocab import CONTROL_SETS, WordVocab
+
+    vocab = WordVocab(0, CONTROL_SETS[5])
+    cfg, model, params, _ = _decode_fixture(V=vocab.vocab_size, nl=2)
+
+    src_tokens = ["4/4", "t_3", "k_0", "d_2", "o_2", "y_2", "i_0",
+                  "bar", "s_2", "track_0", "d_2", "o_2", "y_2", "m_0",
+                  "m_0", "m_0", "m_0"]
+    src = np.array([[vocab.char2index(t) for t in src_tokens]], np.int32)
+    src = pad_to_bucket(src, bucket=512)
+    span_types = np.zeros((1, 160), np.int32)
+    span_types[0, :4] = [0, 1, 2, 3]
+    n_spans = np.asarray([4], np.int32)
+    rng = jax.random.PRNGKey(3)
+
+    for kw in (dict(nucleus_p=None, greedy=True), dict(nucleus_p=0.9)):
+        v3 = InfillDecoder(model, vocab, max_tgt_len=512, fused=True,
+                           fused_sampling=True, interpret=True, **kw)
+        v4 = InfillDecoder(model, vocab, max_tgt_len=512, fused=True,
+                           fused_sampling=True, interpret=True,
+                           token_chunk=4, **kw)
+        r3 = v3(params, src, span_types, n_spans, False, rng)
+        r4 = v4(params, src, span_types, n_spans, False, rng)
+        n = int(r3.lengths[0])
+        assert int(r4.lengths[0]) == n, (kw, r3.lengths, r4.lengths)
+        assert np.array_equal(np.asarray(r3.tokens)[0, :n],
+                              np.asarray(r4.tokens)[0, :n]), kw
