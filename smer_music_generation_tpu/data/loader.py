@@ -185,14 +185,25 @@ class Prefetcher:
         self._thread.start()
 
     def close(self):
-        """Release the worker thread (idempotent)."""
+        """Release the worker thread and wake any blocked consumer
+        (idempotent)."""
         self._stop.set()
         while True:
             try:
                 self._queue.get_nowait()
             except Exception:
                 break
+        # wake consumers blocked in get(): the queue was just drained, so
+        # there is room for the sentinel (the worker stops putting once
+        # _stop is set and would otherwise never deliver it)
+        try:
+            self._queue.put_nowait(self._sentinel)
+        except Exception:
+            pass
         self._thread.join(timeout=1.0)
+
+    def __del__(self):  # constructed-but-never-iterated: stop the poll loop
+        self._stop.set()
 
     def __iter__(self):
         try:

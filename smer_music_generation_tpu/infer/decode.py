@@ -117,6 +117,11 @@ class InfillDecoder:
             self.fused_sampling = self.fused
         if self.quant != "none" and not self.fused:
             raise ValueError("quantized decode requires the fused kernel path")
+        if self.token_chunk > 1 and not (self.fused and self.fused_sampling):
+            raise ValueError(
+                "token_chunk > 1 (kernel looping) requires the fused-sampling "
+                "kernel path"
+            )
         self._decode_jit = jax.jit(self._decode, static_argnames=("self",))
 
     # -- public API -----------------------------------------------------
@@ -339,11 +344,15 @@ class InfillDecoder:
 
         T_chunk = self.token_chunk
         vpad = vocab_pad(t.vocab_size)
+        # chunked stepping overruns position L-1 by up to T_chunk-1 slots on
+        # the final chunk; pad every per-position buffer by one CHUNK (the
+        # KV stream block size) so capacity matches v3's full L exactly
+        Lp = L + CHUNK
         if self.greedy:
-            noise = jnp.zeros((L, B, vpad), jnp.float32)
+            noise = jnp.zeros((1, B, vpad), jnp.float32)  # never read
         else:
-            noise = jax.random.gumbel(rng, (L, B, vpad), dtype=jnp.float32)
-        out = jnp.zeros((B, L), jnp.int32).at[:, 0].set(t.mask_index)
+            noise = jax.random.gumbel(rng, (Lp, B, vpad), dtype=jnp.float32)
+        out = jnp.zeros((B, Lp), jnp.int32).at[:, 0].set(t.mask_index)
         state0 = jnp.stack(
             [
                 jnp.full((B,), t.mask_index, jnp.int32),  # ST_TOKEN
@@ -361,12 +370,13 @@ class InfillDecoder:
             ]
         )
         cache = jnp.zeros(
-            (cfg.num_decoder_layers, B, L, 2 * cfg.d_model), cfg.dtype
+            (cfg.num_decoder_layers, B, Lp, 2 * cfg.d_model), cfg.dtype
         )
 
         def cond(carry):
             pos, state, out, cache = carry
-            return (pos + T_chunk < L) & jnp.any(state[ST_DONE] == 0)
+            # same positional capacity as v3 (pos + 1 < L)
+            return (pos + 1 < L) & jnp.any(state[ST_DONE] == 0)
 
         def body(carry):
             pos, state, out, cache = carry

@@ -421,30 +421,10 @@ class InfillEngine:
         # dispatch is asynchronous, so the device pipelines group k+1 while
         # the host is fetching/restoring group k.
         group = 8
-        if self.mesh is not None:
-            # dp-sharded serving: the batch axis must divide the dp mesh
-            # axis for the sharding to engage (and to keep the program
-            # count at one per dp-multiple); pad with done-at-start
-            # dummies, decode once, slice the padding off
-            dp = int(self.mesh.shape["dp"])
-            if B % dp != 0:
-                target = int(np.ceil(B / dp)) * dp
-                padded = list(requests)
-                while len(padded) < target:
-                    padded.append(replace(requests[-1], span_codes=[]))
-                asm = self._assemble(padded)
-                out = self._dispatch(asm[0], asm[1], asm[2], asm[3], rng)
-                return self._finish_group(
-                    padded, rng, asm, out,
-                    fix_durations=fix_durations,
-                    correct_controls=correct_controls,
-                )[:B]
-        if self.decoder.fused and 1 < B < group and B != 4:
-            # the fused kernel only compiles at lane-tileable batch sizes
-            # (B == 1 or B % 4 == 0 — see decode.py's fused gate); pad odd
-            # sizes up with done-at-start dummies (n_spans = 0) rather than
-            # silently losing the kernel to the XLA fallback
-            target = 4 if B < 4 else group
+
+        def pad_decode(target: int) -> List[Optional[InfillResult]]:
+            # pad with done-at-start dummies (n_spans = 0), decode once,
+            # slice the padding off
             padded = list(requests)
             while len(padded) < target:
                 padded.append(replace(requests[-1], span_codes=[]))
@@ -454,6 +434,20 @@ class InfillEngine:
                 padded, rng, asm, out,
                 fix_durations=fix_durations, correct_controls=correct_controls,
             )[:B]
+
+        if self.mesh is not None:
+            # dp-sharded serving: the batch axis must divide the dp mesh
+            # axis for the sharding to engage (and to keep the program
+            # count at one per dp-multiple)
+            dp = int(self.mesh.shape["dp"])
+            if B % dp != 0:
+                return pad_decode(int(np.ceil(B / dp)) * dp)
+        if self.decoder.fused and 1 < B < group and B != 4:
+            # the fused kernel only compiles at lane-tileable batch sizes
+            # (B == 1 or B % 4 == 0 — see decode.py's fused gate); pad odd
+            # sizes up rather than silently losing the kernel to the XLA
+            # fallback
+            return pad_decode(4 if B < 4 else group)
         if B > group and self.decoder.fused:
             # pad the tail group to the full group size with done-at-start
             # dummies (n_spans = 0) so it reuses the B=group executable
