@@ -345,9 +345,12 @@ class InfillDecoder:
         T_chunk = self.token_chunk
         vpad = vocab_pad(t.vocab_size)
         # chunked stepping overruns position L-1 by up to T_chunk-1 slots on
-        # the final chunk; pad every per-position buffer by one CHUNK (the
-        # KV stream block size) so capacity matches v3's full L exactly
-        Lp = L + CHUNK
+        # the final chunk; pad every per-position buffer by 64 slop rows so
+        # capacity matches v3's full L exactly.  64 (not CHUNK) keeps
+        # Lp // CHUNK — the attend's chunk count — unchanged: the slop rows
+        # are written but never streamed (n_valid < L always).
+        assert T_chunk <= 64, T_chunk
+        Lp = L + 64
         if self.greedy:
             noise = jnp.zeros((1, B, vpad), jnp.float32)  # never read
         else:
