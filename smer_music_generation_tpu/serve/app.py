@@ -204,7 +204,14 @@ class ServingContext:
             partial = events_to_midi(result.events, tempo)
         if partial is not None and "start_bar" in controls:
             track_names = [f"track_{i}" for i in range(len(partial.instruments))]
-            out["notes"] = midi2notes(partial, tempo, track_names, controls)
+            # the Ableton plugin sends the fill-window bounds (s_bar/e_bar,
+            # absolute plugin bar numbers); derive them from the requested
+            # bars when a caller omits them
+            window = dict(controls)
+            if bars and ("s_bar" not in window or "e_bar" not in window):
+                window.setdefault("s_bar", window["start_bar"] + min(bars))
+                window.setdefault("e_bar", window["start_bar"] + max(bars))
+            out["notes"] = midi2notes(partial, tempo, track_names, window)
         return out
 
 

@@ -250,3 +250,24 @@ def test_serving_context_with_mesh():
         {"events": events, "controls": controls, "tracks": [0], "bars": [1]}
     )
     assert "events" in gen and "m_0" not in gen["events"]
+
+
+def test_generate_notes_without_explicit_window(server_url):
+    """A /generate with start_bar but no s_bar/e_bar still returns note
+    dicts (window derived from the requested bars); locked tracks are
+    omitted from the note payload."""
+    enc = _post(server_url + "/encode",
+                {"notes": plugin_payload(), "controls": {"start_bar": 1}})
+    events, controls = enc["events"], enc["controls"]
+    controls["bar_track"] = 0
+    controls["track_0_c"] = controls["track_0"]
+    controls["track_1_c"] = controls["track_1"]
+    controls["track_0"] = 0  # unlocked
+    controls["track_1"] = 1  # locked
+    controls["start_bar"] = 1
+    gen = _post(server_url + "/generate",
+                {"events": events, "controls": controls,
+                 "tracks": [0], "bars": [2, 3], "tempo": 100})
+    assert "notes" in gen, gen.keys()
+    assert gen["notes"].get("track_1", []) == []  # locked: plugin keeps its own
+    assert "track_0" in gen["notes"]
