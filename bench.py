@@ -193,7 +193,14 @@ def bench_train_step(vocab, model, params, batch_size=8, src_len=2048, tgt_len=5
 
 
 def bench_dataset_build(n_files=24):
-    """Config 4: bulk MIDI->SMER dataset build throughput."""
+    """Config 4: bulk MIDI->SMER dataset build throughput.
+
+    Reports the SERIAL per-core rate (native C++ tokenizer core): at this
+    benchmark's corpus size the build_cli process fan-out loses to
+    worker/task overhead (measured 20.5 vs 25.2 files/s at 48 files,
+    4 jobs); fan-out pays off at real corpus scale (the reference ran
+    n_jobs=20 over thousands of files, ``create_dataset.py:1488``).
+    """
     from smer_music_generation_tpu.data.build import build_file
     from tests.test_annotate import make_two_track_score
 
