@@ -182,7 +182,20 @@ class ServingContext:
         controls = payload["controls"]
         tracks = payload.get("tracks", [0])
         bars = payload.get("bars", [])
-        events = change_controls(events, controls, self.vocab)
+        # Window-bound conventions follow the reference exactly:
+        # change_controls compares s_bar/e_bar against 0-based window bar
+        # indices (generation.py:817) while midi2notes subtracts start_bar
+        # (absolute plugin bars, encode.py:1322-1324) — the plugin supplies
+        # values satisfying its own calibration.  When a caller omits the
+        # bounds, derive them per consumer from the requested bars (the
+        # reference KeyErrors instead): relative here, absolute at the
+        # midi2notes call below.
+        cc_controls = controls
+        if bars and ("s_bar" not in controls or "e_bar" not in controls):
+            cc_controls = dict(controls)
+            cc_controls.setdefault("s_bar", min(bars))
+            cc_controls.setdefault("e_bar", max(bars))
+        events = change_controls(events, cc_controls, self.vocab)
         if self.batcher is not None:
             prepared = self.engine.prepare(events, tracks, bars)
             result = (
@@ -204,11 +217,12 @@ class ServingContext:
             partial = events_to_midi(result.events, tempo)
         if partial is not None and "start_bar" in controls:
             track_names = [f"track_{i}" for i in range(len(partial.instruments))]
-            # the Ableton plugin sends the fill-window bounds (s_bar/e_bar,
-            # absolute plugin bar numbers); derive them from the requested
-            # bars when a caller omits them
+            # midi2notes expects ABSOLUTE plugin bar numbers; a derived
+            # min..max window also covers intermediate bars of a gapped
+            # request (their note dicts are encode-round-trip 16th-grid
+            # copies — the plugin UI only fills contiguous ranges)
             window = dict(controls)
-            if bars and ("s_bar" not in window or "e_bar" not in window):
+            if bars:
                 window.setdefault("s_bar", window["start_bar"] + min(bars))
                 window.setdefault("e_bar", window["start_bar"] + max(bars))
             out["notes"] = midi2notes(partial, tempo, track_names, window)
