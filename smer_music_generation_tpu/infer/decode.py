@@ -23,6 +23,7 @@ drops them via ``this_tgt_inp[:-1]``), ready for ``restore_marked_input``.
 from __future__ import annotations
 
 import math
+import warnings
 
 from dataclasses import dataclass
 from typing import NamedTuple, Optional
@@ -171,6 +172,17 @@ class InfillDecoder:
             self.fused and S % CHUNK == 0 and S <= cfg.max_len and B <= 8
             and (B == 1 or B % 4 == 0)
         )
+        if self.quant != "none" and not use_fused:
+            # trace-time (shapes are static): the constructor guaranteed
+            # quant implies fused, but this call's shape fell off the
+            # kernel contract — the caller would silently get bf16 weights.
+            warnings.warn(
+                f"quant={self.quant!r} configured but this call (B={B}, S={S}) "
+                "is ineligible for the fused kernel; decoding unquantized via "
+                "the XLA path. Pad B to 1 or a multiple of 4 (<=8) and S to a "
+                f"multiple of {CHUNK} (<= max_len) to quantize.",
+                stacklevel=2,
+            )
         if use_fused:
             nl, D = cfg.num_decoder_layers, cfg.d_model
             vpad = vocab_pad(t.vocab_size)
@@ -404,12 +416,15 @@ class InfillDecoder:
 
         carry = (jnp.int32(0), state0, out, cache)
         pos, state, out, cache = jax.lax.while_loop(cond, body, carry)
-        # chunked stepping may overshoot a mid-chunk finish: ST_LEN already
-        # records the true lengths, and tokens past the per-element length
-        # are 0 (done elements emit pad) — mask defensively anyway
-        valid = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1) < state[ST_LEN][:, None]
-        out = jnp.where(valid, out, 0)
-        return DecodeResult(tokens=out, lengths=state[ST_LEN], steps=pos)
+        # Chunked stepping may overshoot a mid-chunk finish, and a stream
+        # still live near the cap decodes up to T_chunk-1 tokens past L into
+        # the slop rows (the in-kernel cap is per chunk).  Clamp lengths to
+        # the advertised max_tgt_len, zero everything past the per-element
+        # length, and trim the slop so output shape matches v3 exactly.
+        lengths = jnp.minimum(state[ST_LEN], L)
+        valid = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1) < lengths[:, None]
+        out = jnp.where(valid, out, 0)[:, :L]
+        return DecodeResult(tokens=out, lengths=lengths, steps=pos)
 
 
 def pad_to_bucket(

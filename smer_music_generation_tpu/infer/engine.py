@@ -9,6 +9,7 @@ pure numpy/python string work.
 
 from __future__ import annotations
 
+import warnings
 from dataclasses import dataclass, replace
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -349,7 +350,15 @@ class InfillEngine:
             return arr
         B = arr.shape[0]
         if B % self.mesh.shape["dp"] != 0:
-            return arr  # uneven batch: let XLA place it (still correct)
+            # Correct but loses data parallelism; run_batch pads to avoid
+            # this, so a direct caller hitting it should know (VERDICT r1).
+            warnings.warn(
+                f"batch of {B} rows is not divisible by dp={self.mesh.shape['dp']}; "
+                "placing unsharded (no data parallelism for this call). "
+                "Pad the batch to a multiple of dp to shard it.",
+                stacklevel=3,
+            )
+            return arr
         return jax.device_put(jnp.asarray(arr), self._batch_sharding)
 
     def _dispatch(self, src_b, span_types, n_spans, no_whole, rng):

@@ -19,8 +19,7 @@ import jax.numpy as jnp
 from ..codec.annotate import encode_midi
 from ..codec.midi import read_midi
 from ..codec.smer import events_to_midi
-from ..train.checkpoint import restore_checkpoint
-from ..train.state import TrainState, build_model
+from ..train.state import load_inference_model
 from ..utils.cache import enable_persistent_cache
 from ..utils.config import ExperimentConfig
 from ..utils.logging import logger_init
@@ -49,19 +48,10 @@ def main(argv=None) -> int:
     cfg = ExperimentConfig.load(args.config) if args.config else ExperimentConfig()
     vocab = WordVocab(cfg.vocab_mode, cfg.control_list)
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
-    model = build_model(
-        vocab.vocab_size, d_model=cfg.d_model, nhead=cfg.nhead,
-        num_layers=cfg.num_layers, d_ff=cfg.d_ff, max_len=cfg.max_seq,
-        dropout=0.0, dtype=dtype,
-    )
-    params = jax.jit(model.init)(
-        {"params": jax.random.PRNGKey(0)},
-        jnp.ones((1, 16), jnp.int32), jnp.ones((1, 16), jnp.int32),
+    model, params, epoch = load_inference_model(
+        cfg, vocab.vocab_size, args.checkpoint, dtype
     )
     if args.checkpoint:
-        state = TrainState.create(params, lr=cfg.lr)
-        state, epoch, _ = restore_checkpoint(args.checkpoint, state)
-        params = state.params
         logger.info(f"loaded checkpoint {args.checkpoint} (epoch {epoch})")
     else:
         logger.warning("generating with RANDOM weights (no --checkpoint)")

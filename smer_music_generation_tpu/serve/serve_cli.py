@@ -13,8 +13,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-from ..train.checkpoint import restore_checkpoint
-from ..train.state import TrainState, build_model
+from ..train.state import load_inference_model
 from ..utils.config import ExperimentConfig
 from ..utils.logging import logger_init
 from ..vocab import WordVocab
@@ -45,19 +44,10 @@ def main(argv=None) -> int:
     cfg = ExperimentConfig.load(args.config) if args.config else ExperimentConfig()
     vocab = WordVocab(cfg.vocab_mode, cfg.control_list)
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
-    model = build_model(
-        vocab.vocab_size, d_model=cfg.d_model, nhead=cfg.nhead,
-        num_layers=cfg.num_layers, d_ff=cfg.d_ff, max_len=cfg.max_seq,
-        dropout=0.0, dtype=dtype,
-    )
-    params = jax.jit(model.init)(
-        {"params": jax.random.PRNGKey(0)},
-        jnp.ones((1, 16), jnp.int32), jnp.ones((1, 16), jnp.int32),
+    model, params, epoch = load_inference_model(
+        cfg, vocab.vocab_size, args.checkpoint, dtype
     )
     if args.checkpoint:
-        state = TrainState.create(params, lr=cfg.lr)
-        state, epoch, loss = restore_checkpoint(args.checkpoint, state)
-        params = state.params
         logger.info(f"loaded checkpoint {args.checkpoint} (epoch {epoch})")
     else:
         logger.warning("serving with RANDOM weights (no --checkpoint given)")

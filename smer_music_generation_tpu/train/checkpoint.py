@@ -36,10 +36,46 @@ def save_checkpoint(
     return path
 
 
+def checkpoint_has_final_norm(path: str) -> Optional[bool]:
+    """Inspect a saved checkpoint for the final-LayerNorm params.
+
+    ``final_norm`` defaults to True since the torch-parity change (it adds
+    ``norm_e``/``norm_d`` to the parameter tree, mirroring the reference's
+    ``transformer.encoder.norm``/``decoder.norm``); checkpoints written
+    before that have no such keys.  Callers use this to construct a
+    matching ``ModelConfig(final_norm=...)`` before restoring — the same
+    presence check ``train/convert.py:111`` applies to torch files.
+    Returns None when the structure cannot be read.
+    """
+    try:
+        meta = ocp.StandardCheckpointer().metadata(os.path.abspath(path))
+        tree = meta.item_metadata if hasattr(meta, "item_metadata") else meta
+        params = tree["params"]["params"]
+        return "norm_e" in params or "norm_d" in params
+    except Exception:
+        return None
+
+
 def restore_checkpoint(
     path: str, state: TrainState
 ) -> Tuple[TrainState, int, float]:
-    """Restore into the shape/dtype structure of ``state``."""
+    """Restore into the shape/dtype structure of ``state``.
+
+    Raises a descriptive error when the checkpoint's ``final_norm`` layout
+    disagrees with the model that built ``state`` (ADVICE r1: the default
+    flipped to True; old checkpoints need ``final_norm=False``).
+    """
+    has_norm = checkpoint_has_final_norm(path)
+    if has_norm is not None:
+        state_has_norm = "norm_e" in state.params.get("params", {})
+        if has_norm != state_has_norm:
+            want = "final_norm=True" if has_norm else "final_norm=False"
+            raise ValueError(
+                f"checkpoint {path!r} was written with {want} but the model "
+                f"was built with final_norm={state_has_norm}; rebuild the "
+                f"model with ModelConfig({want}) (see "
+                "checkpoint_has_final_norm) and restore again"
+            )
     abstract = {
         "params": jax.tree.map(ocp.utils.to_shape_dtype_struct, state.params),
         "opt_state": jax.tree.map(ocp.utils.to_shape_dtype_struct, state.opt_state),

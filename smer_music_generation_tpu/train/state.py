@@ -151,6 +151,7 @@ def build_model(
     dropout: float = 0.1,
     dtype=jnp.float32,
     flash_training: bool = False,
+    final_norm: bool = True,
 ) -> ScoreTransformer:
     """The flagship config (reference ``config/config.yaml:26-43``)."""
     cfg = ModelConfig(
@@ -165,5 +166,38 @@ def build_model(
         pos_dropout=dropout,
         dtype=dtype,
         flash_training=flash_training,
+        final_norm=final_norm,
     )
     return ScoreTransformer(cfg)
+
+
+def load_inference_model(cfg, vocab_size: int, checkpoint: str | None, dtype):
+    """Build the flagship model and restore ``checkpoint`` into it.
+
+    Auto-detects the checkpoint's ``final_norm`` layout (the default
+    flipped to True mid-round-1; pre-flip checkpoints lack norm_e/norm_d —
+    ADVICE r1) so old artifacts restore without an explicit flag.  Returns
+    ``(model, params, epoch)``; epoch is -1 with no checkpoint.
+    """
+    final_norm = True
+    if checkpoint:
+        from .checkpoint import checkpoint_has_final_norm, restore_checkpoint
+
+        detected = checkpoint_has_final_norm(checkpoint)
+        if detected is not None:
+            final_norm = detected
+    model = build_model(
+        vocab_size, d_model=cfg.d_model, nhead=cfg.nhead,
+        num_layers=cfg.num_layers, d_ff=cfg.d_ff, max_len=cfg.max_seq,
+        dropout=0.0, dtype=dtype, final_norm=final_norm,
+    )
+    params = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.ones((1, 16), jnp.int32), jnp.ones((1, 16), jnp.int32),
+    )
+    epoch = -1
+    if checkpoint:
+        state = TrainState.create(params, lr=cfg.lr)
+        state, epoch, _ = restore_checkpoint(checkpoint, state)
+        params = state.params
+    return model, params, epoch

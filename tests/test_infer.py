@@ -672,6 +672,20 @@ def test_engine_run_batch_over_mesh(vocab, mode2_events, tiny_engine):
         assert a.events == b.events
 
 
+def test_shard_batch_warns_on_uneven_batch(vocab, tiny_engine):
+    """A mesh-configured engine must warn (not silently degrade) when the
+    batch cannot be dp-sharded (VERDICT r1 weak #5)."""
+    from smer_music_generation_tpu.infer.engine import InfillEngine
+    from smer_music_generation_tpu.parallel.mesh import make_mesh
+
+    sharded = InfillEngine(
+        tiny_engine.model, tiny_engine.params, vocab, nucleus_p=0.9,
+        max_tgt_len=512, max_time_fix_attempts=1, mesh=make_mesh(8, tp=1),
+    )
+    with pytest.warns(UserWarning, match="not divisible by dp"):
+        sharded._shard_batch(np.zeros((3, 16), np.int32))
+
+
 @pytest.mark.parametrize("sig,mode", [((4, 4), 0), ((3, 4), 0), ((6, 8), 0),
                                       ((4, 4), 1), ((3, 4), 1)])
 def test_engine_fuzz_signatures_and_modes(sig, mode):

