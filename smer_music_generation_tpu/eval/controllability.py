@@ -151,10 +151,15 @@ class EvalResult:
 class ControllabilityEvaluator:
     """Mutate one control, regenerate, measure |set - achieved|."""
 
-    def __init__(self, engine: InfillEngine, vocab: WordVocab, unk_mode: int = 0):
+    def __init__(self, engine: InfillEngine, vocab: WordVocab, unk_mode: int = 0,
+                 correct_controls: bool = False):
+        """``correct_controls``: run the engine in the reference's
+        ``use_correct_control`` mode (in-decode substitution of measured
+        controls, ``evaluation.py:1217-1288``)."""
         self.engine = engine
         self.vocab = vocab
         self.unk_mode = unk_mode
+        self._cc = "in_decode" if correct_controls else False
 
     # ------------------------------------------------------------------
     def evaluate_tensile(
@@ -170,7 +175,8 @@ class ControllabilityEvaluator:
         track_names = track_names_of(events)
         all_tracks = list(range(len(track_names)))
         gen = self.engine(
-            events, [int(n[-1]) for n in track_names], list(bars), rng
+            events, [int(n[-1]) for n in track_names], list(bars), rng,
+            correct_controls=self._cc,
         )
         if gen is None:
             result.failures += 1
@@ -207,7 +213,8 @@ class ControllabilityEvaluator:
         events[positions[track]] = f"{prefix}_{new_value}"
         events = apply_unk_mode(events, self.vocab, self.unk_mode, keep_track=track)
         n_bars = sum(1 for e in events if e == "bar")
-        gen = self.engine(events, [int(track_names[track][-1])], list(range(n_bars)), rng)
+        gen = self.engine(events, [int(track_names[track][-1])], list(range(n_bars)), rng,
+                          correct_controls=self._cc)
         if gen is None:
             result.failures += 1
             return result

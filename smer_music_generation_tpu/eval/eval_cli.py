@@ -30,6 +30,9 @@ def main(argv=None) -> int:
     parser.add_argument("--output", type=str, default="eval_results.json")
     parser.add_argument("--max_windows", type=int, default=20)
     parser.add_argument("--unk_mode", type=int, default=0, choices=[0, 1, 2, 3])
+    parser.add_argument("--correct_controls", action="store_true",
+                        help="in-decode use_correct_control substitution "
+                        "(reference evaluation.py:1217-1288)")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -53,7 +56,10 @@ def main(argv=None) -> int:
     logger.info(f"{len(windows)} test windows")
 
     engine = InfillEngine(model, params, vocab)
-    evaluator = ControllabilityEvaluator(engine, vocab, unk_mode=args.unk_mode)
+    evaluator = ControllabilityEvaluator(
+        engine, vocab, unk_mode=args.unk_mode,
+        correct_controls=args.correct_controls,
+    )
     results = evaluator.run(windows, seed=args.seed, max_windows=args.max_windows)
     for k, v in results.items():
         logger.info(f"{k}: n={v['n']} mean |set-achieved| = {v['mean_abs_diff']}")

@@ -124,6 +124,7 @@ class InfillDecoder:
                 "kernel path"
             )
         self._decode_jit = jax.jit(self._decode, static_argnames=("self",))
+        self._decode_forced_jit = jax.jit(self._decode, static_argnames=("self",))
 
     # -- public API -----------------------------------------------------
     def __call__(
@@ -134,10 +135,34 @@ class InfillDecoder:
         n_spans: np.ndarray,  # (B,) int32
         no_whole_duration: bool,
         rng: jax.Array,
+        forced: Optional[np.ndarray] = None,  # (B, L) decoder-stream prefix
+        forced_len: Optional[np.ndarray] = None,  # (B,) prefix lengths
     ) -> DecodeResult:
+        """``forced``/``forced_len``: teacher-force the first ``forced_len``
+        decoder-stream positions (the reference's in-decode
+        ``use_correct_control`` substitution, ``evaluation.py:1217-1288``,
+        resumes a session after the host rewrites a control token).  The
+        prefix uses the output-stream convention (``m_0`` span markers, no
+        <eos>); sampling takes over at ``forced_len``.  XLA path only."""
         src = jnp.asarray(src, dtype=jnp.int32)
         span_types = jnp.asarray(span_types, dtype=jnp.int32)
         n_spans = jnp.asarray(n_spans, dtype=jnp.int32)
+        if forced is not None:
+            if self.fused:
+                raise ValueError(
+                    "forced-prefix decode requires the XLA path; build the "
+                    "decoder with fused=False"
+                )
+            B = src.shape[0]
+            f = np.zeros((B, self.max_tgt_len), np.int32)
+            fl = np.asarray(forced_len, np.int32)
+            forced = np.asarray(forced, np.int32)
+            f[:, : forced.shape[1]] = forced[:, : self.max_tgt_len]
+            return self._decode_forced_jit(
+                self, params, src, span_types, n_spans,
+                jnp.asarray(no_whole_duration), rng,
+                jnp.asarray(f), jnp.asarray(fl),
+            )
         return self._decode_jit(
             self, params, src, span_types, n_spans,
             jnp.asarray(no_whole_duration), rng,
@@ -145,7 +170,8 @@ class InfillDecoder:
 
     # -- the compiled program -------------------------------------------
     @staticmethod
-    def _decode(self, params, src, span_types, n_spans, no_whole, rng) -> DecodeResult:
+    def _decode(self, params, src, span_types, n_spans, no_whole, rng,
+                forced=None, forced_len=None) -> DecodeResult:
         model, t = self.model, self.tables
         B = src.shape[0]
         L = self.max_tgt_len
@@ -265,6 +291,17 @@ class InfillDecoder:
                 | (steps_in_span + 1 >= self.span_cap)
                 | control_done
             )
+            if forced is not None:
+                # teacher-force the prefix: within it the "sampled" token is
+                # the forced one, and a forced m_0 marks the span boundary
+                # (the output stream drops <eos>, so m_0 IS the end signal)
+                f_next = jax.lax.dynamic_slice_in_dim(
+                    forced, pos + 1, 1, axis=1
+                )[:, 0]
+                in_force = (pos + 1) < forced_len
+                forced_end = in_force & (f_next == t.mask_index)
+                sampled = jnp.where(in_force & ~forced_end, f_next, sampled)
+                end_span = jnp.where(in_force, forced_end, end_span)
             new_span_idx = jnp.where(end_span, span_idx + 1, span_idx)
             now_done = done | (new_span_idx >= n_spans)
 

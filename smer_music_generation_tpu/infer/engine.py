@@ -20,11 +20,22 @@ import numpy as np
 from ..codec.durations import DurationTable, duration_table_for_signature
 from ..codec.structure import bar_with_track_positions, track_names_of
 from ..data.masking import copy_bar_controls_to_end
-from ..vocab import WordVocab
+from ..vocab import ALL_KEY_NAMES, WordVocab
 from .decode import InfillDecoder, pad_to_bucket
 from .grammar import SPAN_CODE
 
 TOTAL_TRACK_CONTROL_TYPES = 3
+
+
+def _split_spans(generated: Sequence[str]) -> List[List[str]]:
+    """Decoder output stream -> list of spans (split on ``m_0`` markers)."""
+    spans: List[List[str]] = []
+    for tok in generated:
+        if tok == "m_0":
+            spans.append([])
+        elif spans:
+            spans[-1].append(tok)
+    return spans
 
 
 def fill_empty_bars(
@@ -625,16 +636,207 @@ class InfillEngine:
         bars_to_generate: Sequence[int],
         rng,
         fix_durations: bool = True,
-        correct_controls: bool = False,
+        correct_controls=False,
     ) -> Optional[InfillResult]:
+        """``correct_controls``: False, True (post-hoc rewrite of the
+        restored stream) or ``"in_decode"`` (the reference's
+        ``use_correct_control`` — later spans condition on measured
+        controls; see :meth:`run_with_correct_controls`)."""
         req = self.prepare(events, tracks_to_generate, bars_to_generate)
         if req is None:
             return None
+        if correct_controls == "in_decode":
+            return self.run_with_correct_controls(
+                req, rng, fix_durations=fix_durations
+            )
         return self.run_batch(
             [req], rng, fix_durations=fix_durations, correct_controls=correct_controls
         )[0]
 
     # ------------------------------------------------------------------
+    @property
+    def _eval_decoder(self) -> InfillDecoder:
+        """XLA-path decoder with forced-prefix support (lazily built) for
+        the in-decode correct-control mode — the fused kernels do not take
+        a teacher-forced prefix."""
+        dec = getattr(self, "_eval_decoder_cache", None)
+        if dec is None:
+            dec = InfillDecoder(
+                self.model,
+                self.vocab,
+                max_tgt_len=self.decoder.max_tgt_len,
+                nucleus_p=self.decoder.nucleus_p,
+                temperature=self.decoder.temperature,
+                greedy=self.decoder.greedy,
+                fused=False,
+            )
+            self._eval_decoder_cache = dec
+        return dec
+
+    def run_with_correct_controls(
+        self,
+        req: "PreparedRequest",
+        rng,
+        fix_durations: bool = True,
+        max_rounds: Optional[int] = None,
+    ) -> Optional[InfillResult]:
+        """In-decode ``use_correct_control`` (reference
+        ``evaluation.py:1217-1288``): after each masked (bar, track) body
+        decodes, its TRUE density/occupation/polyphony — and, on the last
+        track of a bar, the bar's true tensile strain — replace the sampled
+        control tokens, so every LATER span conditions on measured values.
+
+        The reference interleaves this on the host per token; here the seam
+        is between compiled decodes: decode the whole session, measure the
+        earliest span group whose sampled controls disagree with the
+        measured ones, substitute, teacher-force the stream up to that
+        point and re-decode the remainder.  Each round settles at least one
+        group, so rounds <= number of masked slots (and is 1 when the model
+        already emits the measured values).
+        """
+        from ..eval.controllability import recompute_bar_track_control
+
+        decoder = self._eval_decoder
+        src_tokens = [self.vocab.index2char(int(t)) for t in req.src]
+        span_codes = list(req.span_codes)
+        n_spans = len(span_codes)
+        if n_spans == 0:
+            return None
+
+        # group spans: each SPAN_BODY opens a (bar, track) group; the
+        # control spans that follow it belong to the group
+        groups: List[List[int]] = []
+        for k, code in enumerate(span_codes):
+            if code == SPAN_CODE["r"]:
+                groups.append([k])
+            elif groups:
+                groups[-1].append(k)
+        # groups follow source-position order = (bar asc, track asc)
+        group_slots = sorted(zip(req.mask_bars, req.mask_tracks))
+
+        bar0 = next(i for i, t in enumerate(src_tokens) if t == "bar")
+        header = [src_tokens[0], src_tokens[1]] + [
+            t for t in src_tokens[:bar0] if t.startswith("i_")
+        ]
+        key_token = src_tokens[2] if src_tokens[2].startswith("k_") else None
+        key_name = (
+            ALL_KEY_NAMES[int(key_token[2:])]
+            if key_token is not None
+            else None
+        )
+
+        src_b = pad_to_bucket(np.asarray(req.src, np.int32)[None])
+        span_types = np.zeros((1, decoder.max_spans), np.int32)
+        span_types[0, :n_spans] = span_codes
+        n_spans_b = np.asarray([n_spans], np.int32)
+        no_whole = np.asarray([req.no_whole_duration])
+
+        settled_groups = 0
+        forced_stream: List[str] = []
+        rounds = max_rounds if max_rounds is not None else len(groups) + 1
+        generated: List[str] = []
+        for round_i in range(rounds):
+            if forced_stream:
+                forced_ids = np.asarray(
+                    [[self.vocab.char2index(t) for t in forced_stream]], np.int32
+                )
+                forced_len = np.asarray([len(forced_stream)], np.int32)
+            else:
+                forced_ids = forced_len = None
+            out = decoder(
+                self.params, src_b, span_types, n_spans_b, no_whole,
+                jax.random.fold_in(rng, round_i),
+                forced=forced_ids, forced_len=forced_len,
+            )
+            tokens, lengths = jax.device_get((out.tokens, out.lengths))
+            generated = [
+                self.vocab.index2char(int(t)) for t in tokens[0][: int(lengths[0])]
+            ]
+            spans = _split_spans(generated)
+            if len(spans) < n_spans:
+                break  # decode exhausted the budget; keep what we have
+
+            mismatch = None  # (group_idx, {span_idx: measured_token})
+            for gi in range(settled_groups, len(groups)):
+                body_idx = groups[gi][0]
+                body = spans[body_idx]
+                subs: Dict[int, str] = {}
+                d, o, y = recompute_bar_track_control(body, header)
+                measured = {
+                    SPAN_CODE["d"]: f"d_{d}" if d >= 0 else None,
+                    SPAN_CODE["o"]: f"o_{o}" if o >= 0 else None,
+                    SPAN_CODE["p"]: f"y_{y}" if y >= 0 else None,
+                }
+                for si in groups[gi][1:]:
+                    code = span_codes[si]
+                    if code == SPAN_CODE["t"]:
+                        bar_num = group_slots[gi][0]
+                        want = self._measured_tensile(
+                            spans, src_tokens, bar_num, header, key_name
+                        )
+                    else:
+                        want = measured.get(code)
+                    if want is not None and spans[si] and spans[si][0] != want:
+                        subs[si] = want
+                if subs:
+                    mismatch = (gi, subs)
+                    break
+            if mismatch is None:
+                settled_groups = len(groups)
+                break
+            gi, subs = mismatch
+            for si, tok in subs.items():
+                spans[si] = [tok]
+            last_span = groups[gi][-1]
+            forced_stream = []
+            for si in range(last_span + 1):
+                forced_stream.append("m_0")
+                forced_stream.extend(spans[si])
+            settled_groups = gi + 1
+
+        restored = restore_marked_input(src_tokens, generated)
+        if fix_durations and self.vocab.mode == 0:
+            restored = self._repair_durations(restored, req.table)
+        return InfillResult(
+            events=restored,
+            generated=generated,
+            mask_tracks=req.mask_tracks,
+            mask_bars=req.mask_bars,
+            decode_steps=len(generated),
+        )
+
+    def _measured_tensile(
+        self,
+        spans: List[List[str]],
+        src_tokens: List[str],
+        bar_num: int,
+        header: List[str],
+        key_name: Optional[str],
+    ) -> Optional[str]:
+        """True ``s_*`` of a bar, measured from the restored stream (the
+        bar's tracks include unmasked source content)."""
+        from ..eval.controllability import recompute_bar_tension
+
+        flat: List[str] = []
+        for s in spans:
+            flat.append("m_0")
+            flat.extend(s)
+        restored = restore_marked_input(src_tokens, flat)
+        try:
+            _, bar_poses, _ = bar_with_track_positions(restored)
+        except (IndexError, ValueError):
+            return None
+        if bar_num >= len(bar_poses):
+            return None
+        lo = bar_poses[bar_num]
+        hi = (
+            bar_poses[bar_num + 1]
+            if bar_num + 1 < len(bar_poses)
+            else len(restored)
+        )
+        cat = recompute_bar_tension(restored[lo + 1 : hi], header, key_name)
+        return f"s_{cat}" if cat is not None else None
+
     def _correct_controls(
         self, events: List[str], mask_bars: List[int], mask_tracks: List[int]
     ) -> List[str]:

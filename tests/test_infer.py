@@ -672,6 +672,91 @@ def test_engine_run_batch_over_mesh(vocab, mode2_events, tiny_engine):
         assert a.events == b.events
 
 
+def test_forced_prefix_decode_reproduces_prefix(vocab, mode2_events, tiny_engine):
+    """Teacher-forcing a previously decoded prefix must reproduce it
+    verbatim and continue with legal spans (the in-decode
+    use_correct_control seam)."""
+    events, _ = mode2_events
+    req = tiny_engine.prepare(events, [0], [1, 2])
+    assert req is not None
+    decoder = tiny_engine._eval_decoder
+    import numpy as np
+
+    from smer_music_generation_tpu.infer.decode import pad_to_bucket
+
+    src_b = pad_to_bucket(np.asarray(req.src, np.int32)[None])
+    span_types = np.zeros((1, decoder.max_spans), np.int32)
+    span_types[0, : len(req.span_codes)] = req.span_codes
+    n_spans = np.asarray([len(req.span_codes)], np.int32)
+    no_whole = np.asarray([req.no_whole_duration])
+    rng = jax.random.PRNGKey(3)
+    out = decoder(tiny_engine.params, src_b, span_types, n_spans, no_whole, rng)
+    toks, lens = jax.device_get((out.tokens, out.lengths))
+    full = [vocab.index2char(int(t)) for t in toks[0][: int(lens[0])]]
+    # force the first two spans (body + first control) and re-decode
+    m0_positions = [i for i, t in enumerate(full) if t == "m_0"]
+    assert len(m0_positions) >= 3
+    prefix = full[: m0_positions[2]]
+    forced = np.asarray([[vocab.char2index(t) for t in prefix]], np.int32)
+    out2 = decoder(
+        tiny_engine.params, src_b, span_types, n_spans, no_whole,
+        jax.random.PRNGKey(99),  # different noise: suffix may differ
+        forced=forced, forced_len=np.asarray([len(prefix)], np.int32),
+    )
+    toks2, lens2 = jax.device_get((out2.tokens, out2.lengths))
+    full2 = [vocab.index2char(int(t)) for t in toks2[0][: int(lens2[0])]]
+    assert full2[: len(prefix)] == prefix
+    # the re-decode must still produce the full span count
+    assert sum(1 for t in full2 if t == "m_0") == len(req.span_codes)
+
+
+def test_in_decode_correct_controls(vocab, mode2_events, tiny_engine):
+    """correct_controls='in_decode': the end-control copies of every
+    regenerated slot must equal the MEASURED controls of the generated
+    body (the reference's use_correct_control contract) — even with a
+    random-weight model whose sampled controls are arbitrary."""
+    from smer_music_generation_tpu.eval.controllability import (
+        recompute_bar_track_control,
+    )
+    from smer_music_generation_tpu.infer.engine import (
+        TOTAL_TRACK_CONTROL_TYPES,
+        bar_with_track_positions,
+    )
+
+    events, _ = mode2_events
+    req = tiny_engine.prepare(events, [0], [1, 2])
+    assert req is not None
+    result = tiny_engine.run_with_correct_controls(
+        req, jax.random.PRNGKey(11), fix_durations=False
+    )
+    assert result is not None
+    out = result.events
+    bar0 = next(i for i, t in enumerate(out) if t == "bar")
+    header = [out[0], out[1]] + [t for t in out[:bar0] if t.startswith("i_")]
+    _, _, bars = bar_with_track_positions(out)
+    checked = 0
+    for bar_num, track_num in zip(result.mask_bars, result.mask_tracks):
+        track_start, track_end = bars[bar_num][track_num]
+        tensile_end = (
+            1 if out[track_end - 1].startswith("s_") else 0
+        )
+        body = out[
+            track_start + TOTAL_TRACK_CONTROL_TYPES
+            : track_end - TOTAL_TRACK_CONTROL_TYPES - tensile_end
+        ]
+        d, o, y = recompute_bar_track_control(body, header)
+        end_controls = out[
+            track_end - TOTAL_TRACK_CONTROL_TYPES - tensile_end
+            : track_end - tensile_end
+        ]
+        assert end_controls[0] == f"d_{d}"
+        if o >= 0:
+            assert end_controls[1] == f"o_{o}"
+            assert end_controls[2] == f"y_{y}"
+        checked += 1
+    assert checked == len(result.mask_bars) > 0
+
+
 def test_shard_batch_warns_on_uneven_batch(vocab, tiny_engine):
     """A mesh-configured engine must warn (not silently degrade) when the
     batch cannot be dp-sharded (VERDICT r1 weak #5)."""
