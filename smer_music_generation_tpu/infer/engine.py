@@ -323,20 +323,20 @@ class InfillEngine:
     ):
         """``mesh``: a ``parallel.mesh.make_mesh`` device mesh for
         multi-chip batched serving — parameters are replicated once and
-        every batch's leading axis is sharded over the ``dp`` axis (XLA
-        shards the whole decode program; SURVEY §2.5).  The fused
-        single-chip kernel is bypassed (the XLA decode path partitions
-        transparently under ``jax.sharding``; a pallas call would need
-        explicit shard_map rules)."""
+        every batch's leading axis is sharded over the ``dp`` axis
+        (SURVEY §2.5).  The fused decode kernel is shard_mapped over dp
+        (each chip runs the pallas loop on its local slice — N chips keep
+        N x the single-chip fused aggregate); batch shapes that fall off
+        the per-shard kernel gate use the XLA decode path, which XLA
+        partitions transparently."""
         self.model = model
         self.vocab = vocab
         self.max_time_fix_attempts = max_time_fix_attempts
         self.mesh = mesh
         if mesh is not None and quant != "none":
             raise ValueError(
-                "dp-sharded serving (mesh=...) uses the XLA decode path and "
-                "does not support quantized weight streaming; drop quant or "
-                "the mesh"
+                "dp-sharded serving (mesh=...) does not support quantized "
+                "weight streaming; drop quant or the mesh"
             )
         self.decoder = InfillDecoder(
             model,
@@ -346,7 +346,7 @@ class InfillEngine:
             temperature=temperature,
             greedy=greedy,
             quant=quant,
-            fused=False if mesh is not None else None,
+            mesh=mesh,
         )
         if mesh is not None:
             from ..parallel.mesh import batch_sharding, replicated
@@ -433,14 +433,16 @@ class InfillEngine:
         B = len(requests)
         if B == 0:
             return []
-        # Large batches run as fused-kernel groups of 8: the kernel's
-        # aggregate throughput at B=8 is ~3x the XLA batched path at B=16
-        # (see infer/decode.py B gate), so chunking wins on both throughput
-        # and per-request latency.  All groups' first decodes are DISPATCHED
-        # before the first (blocking, round-trip-priced) device_get — jax
-        # dispatch is asynchronous, so the device pipelines group k+1 while
-        # the host is fetching/restoring group k.
-        group = 8
+        # Large batches run as fused-kernel groups of 8 per chip: the
+        # kernel's aggregate throughput at B=8 is ~3x the XLA batched path
+        # at B=16 (see infer/decode.py B gate), so chunking wins on both
+        # throughput and per-request latency.  Under a dp mesh the group is
+        # 8 x dp (each shard decodes 8).  All groups' first decodes are
+        # DISPATCHED before the first (blocking, round-trip-priced)
+        # device_get — jax dispatch is asynchronous, so the device
+        # pipelines group k+1 while the host is fetching/restoring group k.
+        dp = 1 if self.mesh is None else int(self.mesh.shape["dp"])
+        group = 8 * dp
 
         def pad_decode(target: int) -> List[Optional[InfillResult]]:
             # pad with done-at-start dummies (n_spans = 0), decode once,
@@ -455,19 +457,20 @@ class InfillEngine:
                 fix_durations=fix_durations, correct_controls=correct_controls,
             )[:B]
 
-        if self.mesh is not None:
-            # dp-sharded serving: the batch axis must divide the dp mesh
-            # axis for the sharding to engage (and to keep the program
-            # count at one per dp-multiple)
-            dp = int(self.mesh.shape["dp"])
-            if B % dp != 0:
-                return pad_decode(int(np.ceil(B / dp)) * dp)
-        if self.decoder.fused and 1 < B < group and B != 4:
-            # the fused kernel only compiles at lane-tileable batch sizes
-            # (B == 1 or B % 4 == 0 — see decode.py's fused gate); pad odd
-            # sizes up rather than silently losing the kernel to the XLA
-            # fallback
-            return pad_decode(4 if B < 4 else group)
+        if self.decoder.fused and B < group:
+            # the kernel only compiles at per-shard batch 1 / 4 / 8 (lane
+            # tiling — see decode.py's fused gate); pad up to the smallest
+            # eligible size rather than silently losing the kernel to the
+            # XLA fallback
+            for target in (dp, 4 * dp, 8 * dp):
+                if B <= target:
+                    break
+            if B != target:
+                return pad_decode(target)
+        elif self.mesh is not None and B % dp != 0:
+            # XLA path over a mesh: the batch axis must divide dp for the
+            # sharding to engage (and to bound the program count)
+            return pad_decode(int(np.ceil(B / dp)) * dp)
         if B > group and self.decoder.fused:
             # pad the tail group to the full group size with done-at-start
             # dummies (n_spans = 0) so it reuses the B=group executable

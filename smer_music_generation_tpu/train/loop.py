@@ -93,9 +93,13 @@ class Trainer:
         self._data_shard = batch_sharding(self.mesh)
         self.state = jax.device_put(self.state, replicated(self.mesh))
 
+        # NO buffer donation: over a tunnelled/relayed backend (axon)
+        # donating the state forces a full host round-trip of params +
+        # opt_state every step — measured 6 s/step vs 18 ms/step without
+        # (r2 bisect, docs/PERFORMANCE.md).  At this model size (~360 MB
+        # of f32 state) donation saves nothing on a 16 GB chip.
         self._train_step = jax.jit(
-            make_train_step(self.model, self.tables, dropout=cfg.dropout > 0),
-            donate_argnums=(0,),
+            make_train_step(self.model, self.tables, dropout=cfg.dropout > 0)
         )
         self._eval_step = jax.jit(make_eval_step(self.model, self.tables))
         self._rng = jax.random.PRNGKey(cfg.seed + 17)
@@ -247,6 +251,13 @@ class Trainer:
 
 def main(argv=None):
     cfg = ExperimentConfig.from_args(argv)
+    if cfg.rbg_rng:
+        # 2x full-step throughput at real packed shapes (dropout mask
+        # generation dominates threefry; see ExperimentConfig.rbg_rng)
+        jax.config.update("jax_default_prng_impl", "unsafe_rbg")
+    from ..utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     trainer = Trainer(cfg)
     if cfg.is_test:
         groups, _ = load_batches(cfg.test_batches)

@@ -63,6 +63,11 @@ class ExperimentConfig:
     n_devices: int = 0  # 0 = all
     tp: int = 1
     bf16: bool = True
+    # hardware-counter-based PRNG for dropout masks: measured 2x the full
+    # train step vs threefry at the real packed shapes (36 -> 18 ms,
+    # docs/PERFORMANCE.md).  Applied by the train CLI (global jax config),
+    # not by library code — flip off to reproduce threefry-exact runs.
+    rbg_rng: bool = True
 
     @property
     def control_list(self) -> List[str]:
@@ -109,6 +114,10 @@ class ExperimentConfig:
         parser.add_argument("--batch_size", type=int, default=defaults.batch_size)
         parser.add_argument("--tp", type=int, default=defaults.tp)
         parser.add_argument("--no_bf16", action="store_true")
+        parser.add_argument("--no_rbg_rng", action="store_true")
+        parser.add_argument("--pretraining_epochs", type=int,
+                            default=defaults.pretraining_epochs)
+        parser.add_argument("--print_every", type=int, default=defaults.print_every)
         args = parser.parse_args(argv)
         cfg = cls(
             vocab_mode=args.vocab_mode,
@@ -131,5 +140,8 @@ class ExperimentConfig:
             batch_size=args.batch_size,
             tp=args.tp,
             bf16=not args.no_bf16,
+            rbg_rng=not args.no_rbg_rng,
+            pretraining_epochs=args.pretraining_epochs,
+            print_every=args.print_every,
         )
         return cfg
