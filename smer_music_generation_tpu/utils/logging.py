@@ -40,11 +40,59 @@ def logger_init(logfile: Optional[str] = None, append: bool = False, name: str =
     return logger
 
 
+class RunIdentity:
+    """wandb-style run identity + resume semantics without the service.
+
+    The reference resumes a run by wandb id with a config override
+    (``train.py:202-222``).  Here a ``run.json`` beside the metrics file
+    records {run_id, config, resume history}; re-opening the same output
+    dir RESUMES the run (same id, a resume record appended), and a config
+    that differs from the recorded one is surfaced as a diff so silent
+    config drift across resumes cannot happen.
+    """
+
+    def __init__(self, output_dir: str, config: Optional[Dict] = None,
+                 logger: Optional[logging.Logger] = None):
+        import uuid
+
+        self.path = os.path.join(output_dir, "run.json")
+        os.makedirs(output_dir, exist_ok=True)
+        self.config_diff: Dict[str, tuple] = {}
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                meta = json.load(f)
+            self.run_id = meta["run_id"]
+            self.resumed = True
+            old = meta.get("config") or {}
+            new = config or {}
+            for k in sorted(set(old) | set(new)):
+                if old.get(k) != new.get(k):
+                    self.config_diff[k] = (old.get(k), new.get(k))
+            meta.setdefault("resumes", []).append(
+                {"time": time.time(),
+                 "config_diff": {k: list(v) for k, v in self.config_diff.items()}}
+            )
+            if config:
+                meta["config"] = config  # override wins, like wandb resume
+        else:
+            self.run_id = uuid.uuid4().hex[:8]
+            self.resumed = False
+            meta = {"run_id": self.run_id, "created": time.time(),
+                    "config": config or {}, "resumes": []}
+        with open(self.path, "w") as f:
+            json.dump(meta, f, indent=2)
+        if logger and self.resumed:
+            logger.info(f"resuming run {self.run_id}")
+            for k, (a, b) in self.config_diff.items():
+                logger.warning(f"config override on resume: {k}: {a!r} -> {b!r}")
+
+
 class MetricsLogger:
     """Append-only JSONL scalar metrics sink."""
 
-    def __init__(self, path: Optional[str] = None):
+    def __init__(self, path: Optional[str] = None, run_id: Optional[str] = None):
         self.path = path
+        self.run_id = run_id
         self._fh = None
         if path:
             os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
@@ -54,6 +102,8 @@ class MetricsLogger:
         if self._fh is None:
             return
         record = {"_time": time.time()}
+        if self.run_id is not None:
+            record["_run"] = self.run_id
         if step is not None:
             record["_step"] = int(step)
         for k, v in metrics.items():

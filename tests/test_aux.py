@@ -76,3 +76,23 @@ def test_logger_and_metrics(tmp_path):
 
     rec = json.loads(open(tmp_path / "m.jsonl").read().strip())
     assert rec["loss"] == 1.5 and rec["_step"] == 3
+
+
+def test_run_identity_resume_and_config_diff(tmp_path):
+    """run.json: fresh run gets an id; reopening resumes with the same id
+    and surfaces config overrides (reference wandb resume semantics,
+    train.py:202-222)."""
+    import json
+
+    from smer_music_generation_tpu.utils.logging import RunIdentity
+
+    r1 = RunIdentity(str(tmp_path), config={"lr": 1e-4, "epochs": 10})
+    assert not r1.resumed and len(r1.run_id) == 8
+
+    r2 = RunIdentity(str(tmp_path), config={"lr": 5e-5, "epochs": 10})
+    assert r2.resumed and r2.run_id == r1.run_id
+    assert r2.config_diff == {"lr": (1e-4, 5e-5)}
+
+    meta = json.load(open(tmp_path / "run.json"))
+    assert meta["config"]["lr"] == 5e-5  # override wins
+    assert len(meta["resumes"]) == 1
