@@ -156,14 +156,23 @@ def bench_batched(vocab, model, params, batch=16, group=8, quant="none"):
     }
 
 
-def bench_train_step(vocab, model, params, batch_size=8, src_len=2048, tgt_len=512):
-    """Training-step throughput: fwd+bwd+adam on packed-size batches."""
+def bench_train_step(vocab, model, params, batch_size=8, src_len=640, tgt_len=384):
+    """Training-step throughput: fwd+bwd+adam at the REAL packed shape.
+
+    Default point is the dominant loader bucket of an actual packed
+    corpus (8 rows x src 640 x tgt 384 — see docs/PERFORMANCE.md r2
+    campaign); round 1 measured (8, 2048+512), a shape the data layer
+    never emits.  Uses the training defaults: rbg dropout PRNG, no
+    donation.
+    """
     import jax
     import jax.numpy as jnp
 
     from smer_music_generation_tpu.train.loss import build_loss_tables
     from smer_music_generation_tpu.train.state import TrainState, make_train_step
 
+    prev_impl = jax.config.jax_default_prng_impl
+    jax.config.update("jax_default_prng_impl", "unsafe_rbg")
     tables = build_loss_tables(vocab)
     state = TrainState.create(params, lr=1e-4)
     step = jax.jit(make_train_step(model, tables, dropout=True))
@@ -176,19 +185,29 @@ def bench_train_step(vocab, model, params, batch_size=8, src_len=2048, tgt_len=5
         "target_pad_mask": jnp.zeros((batch_size, tgt_len), bool),
     }
     state, metrics = step(state, batch, jnp.float32(0.8), rng)
-    jax.block_until_ready(state.params)
-    n, t0 = 8, time.perf_counter()
+    jax.device_get(metrics["loss"])  # block_until_ready lies over the tunnel
+    n, t0 = 16, time.perf_counter()
     for _ in range(n):
         state, metrics = step(state, batch, jnp.float32(0.8), rng)
     jax.device_get(metrics["loss"])
     dt = time.perf_counter() - t0
+    jax.config.update("jax_default_prng_impl", prev_impl)
     toks = batch_size * (src_len + tgt_len)
+    # analytic matmul FLOPs (fwd + 2x bwd) vs v5e bf16 peak
+    B, S, T, d, ff, V = batch_size, src_len, tgt_len, 512, 2048, vocab.vocab_size
+    flops = 3 * (
+        4 * B * S * (8 * d * d + 4 * S * d + 4 * d * ff)
+        + 4 * B * T * (10 * d * d + 4 * T * d + 4 * S * d + 4 * d * ff)
+        + 4 * B * S * 4 * d * d
+        + B * T * 2 * d * V
+    )
     return {
         "batch": batch_size,
         "src_len": src_len,
         "tgt_len": tgt_len,
         "steps_per_sec": round(n / dt, 2),
         "train_tokens_per_sec": round(n * toks / dt, 0),
+        "mfu_pct": round(100 * flops * (n / dt) / 197e12, 1),
     }
 
 

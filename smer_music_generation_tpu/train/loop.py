@@ -61,11 +61,12 @@ class Trainer:
         self.logger = logger or logger_init(os.path.join(cfg.output_dir, "logging.log"))
         from ..utils.logging import RunIdentity
 
-        self.run = RunIdentity(
+        self.run_identity = RunIdentity(
             cfg.output_dir, config=dataclasses.asdict(cfg), logger=self.logger
         )
         self.metrics = MetricsLogger(
-            os.path.join(cfg.output_dir, "metrics.jsonl"), run_id=self.run.run_id
+            os.path.join(cfg.output_dir, "metrics.jsonl"),
+            run_id=self.run_identity.run_id,
         )
 
         self.vocab = WordVocab(cfg.vocab_mode, cfg.control_list)
