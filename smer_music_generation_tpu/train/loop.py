@@ -133,6 +133,8 @@ class Trainer:
                 max_src=cfg.max_seq,
                 max_tgt=cfg.max_seq,
                 pretraining=pretraining,
+                bucket=cfg.seq_bucket,
+                row_bucket=cfg.row_bucket,
             ),
             MaskingConfig(
                 total_mask_ratio=cfg.total_mask_ratio,

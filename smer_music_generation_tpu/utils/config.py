@@ -68,6 +68,13 @@ class ExperimentConfig:
     # docs/PERFORMANCE.md).  Applied by the train CLI (global jax config),
     # not by library code — flip off to reproduce threefry-exact runs.
     rbg_rng: bool = True
+    # shape-bucket granularity for collated batches.  Finetuning masks
+    # draw continuously-varying target lengths; 128-token buckets produce
+    # ~100+ distinct (rows, src, tgt) shapes x ~90 s remote compile each
+    # on a tunnelled backend.  256 cuts the shape count ~8x for ~10% pad
+    # waste (steps are 18-40 ms; compiles are the epoch-1 bottleneck).
+    seq_bucket: int = 256
+    row_bucket: int = 8
 
     @property
     def control_list(self) -> List[str]:
