@@ -194,9 +194,17 @@ class ControllabilityEvaluator:
         return result
 
     def evaluate_track_control(
-        self, events: Sequence[str], track: int, kind: str, new_value: int, rng
+        self, events: Sequence[str], track: int, kind: str, new_value: int, rng,
+        py_rng: Optional[np.random.Generator] = None,
     ) -> EvalResult:
-        """Set one track's whole-window d/o/y control, regenerate the track."""
+        """Set one track's whole-window d/o/y control, regenerate the track.
+
+        Matches the reference's mutation scheme (``evaluation.py:2165-2224``):
+        the header control is set to the new value AND the masked track's
+        per-bar-track copies of the same kind are rewritten to
+        ``new_value + U{-1,0,1}`` clipped to [0, 9] (unk_mode 0) — the model
+        conditions on the per-bar copies, so leaving them stale measures
+        nothing."""
         assert kind in ("density", "occupation", "polyphony")
         prefix = {"density": "d", "occupation": "o", "polyphony": "y"}[kind]
         result = EvalResult(kind)
@@ -211,6 +219,19 @@ class ControllabilityEvaluator:
             result.failures += 1
             return result
         events[positions[track]] = f"{prefix}_{new_value}"
+        if self.unk_mode == 0:
+            py_rng = py_rng or np.random.default_rng(0)
+            _, _, bars = bar_with_track_positions(events)
+            for tracks_in_bar in bars:
+                if track >= len(tracks_in_bar):
+                    continue
+                track_start, track_end = tracks_in_bar[track]
+                for pos in list(range(track_start, track_start + TOTAL_TRACK_CONTROL_TYPES)) + list(
+                    range(track_end - TOTAL_TRACK_CONTROL_TYPES - 1, track_end)
+                ):
+                    if 0 <= pos < len(events) and events[pos].startswith(prefix + "_"):
+                        v = int(np.clip(new_value + py_rng.integers(-1, 2), 0, 9))
+                        events[pos] = f"{prefix}_{v}"
         events = apply_unk_mode(events, self.vocab, self.unk_mode, keep_track=track)
         n_bars = sum(1 for e in events if e == "bar")
         gen = self.engine(events, [int(track_names[track][-1])], list(range(n_bars)), rng,
@@ -256,12 +277,22 @@ class ControllabilityEvaluator:
                 if kind == "tensile":
                     n_mut = int(py_rng.integers(1, min(4, n_bars) + 1))
                     bars = sorted(py_rng.choice(n_bars, n_mut, replace=False).tolist())
-                    values = py_rng.integers(0, 12, n_mut).tolist()
+                    # reference constraint: |original - new| <= 4
+                    # (evaluation.py:2078), unreachable jumps are excluded
+                    _, bar_poses, _ = bar_with_track_positions(list(events))
+                    values = []
+                    for b in bars:
+                        tok = events[bar_poses[b] + 1]
+                        orig = int(tok.split("_")[1]) if tok.startswith("s_") else 6
+                        lo, hi = max(0, orig - 4), min(11, orig + 4)
+                        values.append(int(py_rng.integers(lo, hi + 1)))
                     r = self.evaluate_tensile(events, bars, values, sub)
                 else:
                     track = int(py_rng.integers(len(track_names)))
                     value = int(py_rng.integers(0, 10))
-                    r = self.evaluate_track_control(events, track, kind, value, sub)
+                    r = self.evaluate_track_control(
+                        events, track, kind, value, sub, py_rng=py_rng
+                    )
                 results[kind].diffs.extend(r.diffs)
                 results[kind].failures += r.failures
         return {k: v.summary() for k, v in results.items()}
