@@ -77,19 +77,29 @@ def make_song(rng: np.random.Generator) -> MidiScore:
     densities = rng.uniform(0.25, 0.95, size=3)
     chord_probs = rng.uniform(0.0, 0.6, size=3)
     rest_probs = rng.uniform(0.0, 0.45, size=3)
+    # per-track bar-coverage fraction: notes only occupy the first
+    # occ_fracs[t] of each bar, so the OCCUPATION control axis gets real
+    # dynamic range across songs (round-2 eval finding: whole-bar motifs
+    # cluster occupation in the top bins and the control can't steer)
+    occ_fracs = rng.uniform(0.3, 1.0, size=3)
 
     def scale_pitch(degree: int, octave: int) -> int:
         return int(np.clip(tonic + 12 * octave + scale[degree % 7], 21, 108))
 
     # -- melody: motif cell repeated with variation ---------------------
     melody = Instrument(program=int(rng.choice([0, 1, 4, 24, 40, 73])))
-    motif_len = n_slots * int(rng.choice([1, 2]))
+    motif_bars_n = int(rng.choice([1, 2]))
+    motif_len = n_slots * motif_bars_n
+    occ_slots = max(2, int(round(n_slots * occ_fracs[0])))
     motif = []  # (slot, length, degree_offset) triples
     slot = 0
     while slot < motif_len:
+        if slot % n_slots >= occ_slots:  # rest out the bar tail
+            slot = (slot // n_slots + 1) * n_slots
+            continue
         if rng.random() < densities[0]:
             length = int(rng.choice([1, 2, 2, 4, 4, 8]))
-            length = min(length, motif_len - slot)
+            length = min(length, occ_slots - slot % n_slots, motif_len - slot)
             motif.append((slot, length, int(rng.integers(-3, 6))))
             slot += length
         else:
@@ -128,19 +138,21 @@ def make_song(rng: np.random.Generator) -> MidiScore:
                 continue
             chord_root = prog[(bar // max(motif_bars, 1)) % len(prog)]
             t = bar * bdur
+            occ_b = max(2, int(round(n_slots * occ_fracs[1])))
             pattern = rng.random()
-            if pattern < densities[1] * 0.6:
-                # walking: root, fifth alternating per half bar
+            if pattern < densities[1] * 0.6 and occ_b >= 4:
+                # walking: root, fifth alternating over the occupied span
+                h = occ_b // 2
                 bass.notes.append(
-                    Note(100, scale_pitch(chord_root, 2), t, t + half * sixteenth)
+                    Note(100, scale_pitch(chord_root, 2), t, t + h * sixteenth)
                 )
                 bass.notes.append(
                     Note(100, scale_pitch(chord_root + 4, 2),
-                         t + half * sixteenth, t + 2 * half * sixteenth)
+                         t + h * sixteenth, t + 2 * h * sixteenth)
                 )
             else:
                 bass.notes.append(
-                    Note(100, scale_pitch(chord_root, 2), t, t + n_slots * sixteenth)
+                    Note(100, scale_pitch(chord_root, 2), t, t + occ_b * sixteenth)
                 )
         if bass.notes:
             s.instruments.append(bass)
@@ -153,17 +165,18 @@ def make_song(rng: np.random.Generator) -> MidiScore:
                 continue
             chord_root = prog[(bar // max(motif_bars, 1)) % len(prog)]
             t = bar * bdur
+            occ_a = max(2, int(round(n_slots * occ_fracs[2])))
             triad = [chord_root, chord_root + 2, chord_root + 4]
             if rng.random() < chord_probs[2] + 0.3:
-                # block chord held across the bar
+                # block chord held over the occupied span
                 for d in triad:
                     accomp.notes.append(
-                        Note(100, scale_pitch(d, 3), t, t + n_slots * sixteenth)
+                        Note(100, scale_pitch(d, 3), t, t + occ_a * sixteenth)
                     )
             else:
-                # arpeggio at eighth notes
+                # arpeggio at eighth notes over the occupied span
                 step = 2
-                for i, slot2 in enumerate(range(0, n_slots, step)):
+                for i, slot2 in enumerate(range(0, occ_a, step)):
                     d = triad[i % 3]
                     st = t + slot2 * sixteenth
                     accomp.notes.append(
