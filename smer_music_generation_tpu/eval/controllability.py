@@ -21,11 +21,13 @@ pickles raw Python lists, ``:2815-2864``).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from ..codec.remi import remi_to_midi
 from ..codec.smer import bar_events_to_midi, events_to_midi
 from ..codec.structure import bar_with_track_positions, split_track_events, track_names_of
 from ..features.controls import (
@@ -44,9 +46,26 @@ def _bar_sixteenths(time_signature: str) -> int:
     return beats * 4 if beats != 6 else beats // 2 * 4
 
 
+_REMI_STEP = re.compile(r"e_\d+$")
+
+
+def _is_remi(tokens: Sequence[str]) -> bool:
+    """Mode-1 streams carry explicit 16th-step onset tokens ``e_*``."""
+    return any(_REMI_STEP.match(t) for t in tokens)
+
+
+def _decode_window(events: Sequence[str]):
+    """events -> MidiScore via the codec matching the stream's encoding
+    (reference dispatches on ``rest_multi``: ``event_2midi`` vs
+    ``remi_2midi``, ``evaluation.py:2261-2293``)."""
+    if _is_remi(events):
+        return remi_to_midi(list(events))
+    return events_to_midi(list(events))
+
+
 def recompute_track_controls(events: Sequence[str]) -> Optional[Dict]:
     """Re-measure whole-window track controls of an event stream."""
-    score = events_to_midi(list(events))
+    score = _decode_window(events)
     if score is None:
         return None
     bar_six = _bar_sixteenths(events[0])
@@ -72,7 +91,10 @@ def recompute_bar_track_control(
     """Achieved (density, occupation, polyphony) of one bar-track body."""
     body = [t for t in track_tokens if t != "continue"]
     bar_six = _bar_sixteenths(headers[0])
-    score = bar_events_to_midi(["bar", "track_0"] + list(body), headers[:3])
+    if _is_remi(body):
+        score = remi_to_midi(list(headers[:3]) + ["bar", "track_0"] + list(body))
+    else:
+        score = bar_events_to_midi(["bar", "track_0"] + list(body), headers[:3])
     density = to_category([bar_track_density([body], bar_six)], CONTROL_BINS)[0]
     if score is None:
         return density, -1, -1
@@ -94,7 +116,10 @@ def recompute_bar_tension(
 ) -> Optional[int]:
     """Achieved tensile-strain category of one regenerated bar."""
     body = [t for t in bar_tokens if t not in ("continue", "<eos>")]
-    score = bar_events_to_midi(["bar"] + list(body), headers)
+    if _is_remi(body):
+        score = remi_to_midi(list(headers) + ["bar"] + list(body))
+    else:
+        score = bar_events_to_midi(["bar"] + list(body), headers)
     if score is None:
         return None
     res = score_tension(score, key_names=[key_name] if key_name else None)

@@ -61,6 +61,52 @@ def test_apply_unk_mode(vocab, mode2_events):
     assert out[t1_start] == "unk"
 
 
+def test_recompute_track_controls_remi_stream(vocab, mode2_events):
+    """Mode-1 streams dispatch to the REMI decoder (reference
+    evaluation.py:2261-2293 rest_multi branch)."""
+    from smer_music_generation_tpu.codec.remi import smer_to_remi
+
+    events, _ = mode2_events
+    remi = smer_to_remi(list(events))
+    achieved = recompute_track_controls(remi)
+    smer_achieved = recompute_track_controls(events)
+    assert achieved is not None and smer_achieved is not None
+    # REMI decode yields the same notes as SMER decode, so score-derived
+    # controls agree exactly; token-derived density can shift by at most one
+    # category where continue-ties merged into single extended durations.
+    assert list(achieved["occupation"]) == list(smer_achieved["occupation"])
+    assert list(achieved["polyphony"]) == list(smer_achieved["polyphony"])
+    assert all(
+        abs(int(a) - int(b)) <= 1
+        for a, b in zip(achieved["density"], smer_achieved["density"])
+    )
+
+
+def test_recompute_bar_metrics_remi(vocab, mode2_events):
+    from smer_music_generation_tpu.codec.remi import smer_to_remi
+
+    events, _ = mode2_events
+    remi = smer_to_remi(list(events))
+    _, _, bars = bar_with_track_positions(remi)
+    track_start, track_end = bars[0][0]
+    body = remi[track_start + 3 : track_end - 3]
+    headers = [remi[0], remi[1], "i_0"]
+    d, o, y = recompute_bar_track_control(body, headers)
+    assert 0 <= d <= 9 and 0 <= o <= 9 and 0 <= y <= 9
+
+    _, bar_poses, _ = bar_with_track_positions(remi)
+    lo, hi = bar_poses[0], bar_poses[1]
+    t_headers = [remi[0], remi[1], "i_0", "i_32"]
+    t = recompute_bar_tension(remi[lo + 1 : hi], t_headers)
+    assert t is not None and 0 <= t <= 11
+    # same notes -> same tensile category as the SMER slice of the same bar
+    _, smer_bar_poses, _ = bar_with_track_positions(list(events))
+    smer_t = recompute_bar_tension(
+        events[smer_bar_poses[0] + 1 : smer_bar_poses[1]], t_headers
+    )
+    assert t == smer_t
+
+
 def test_evaluator_tensile_flow(vocab, mode2_events, tiny_engine):
     events, _ = mode2_events
     ev = ControllabilityEvaluator(tiny_engine, vocab)
