@@ -27,6 +27,45 @@ def test_classifier_shapes():
     assert m1.shape == (3, 2)
 
 
+def test_classifier_learns_token_presence():
+    """Overfit the two binary heads on a token-derivable task: a model
+    with any gradient/pooling regression cannot reach high accuracy."""
+    import optax
+
+    cfg = ModelConfig(vocab_size=30, d_model=32, nhead=2, num_encoder_layers=1,
+                      d_ff=64, max_len=32, dropout=0.0, pos_dropout=0.0)
+    model = ClassifyTransformer(cfg)
+    rng = np.random.default_rng(0)
+    src = rng.integers(2, 30, size=(64, 16))
+    # head0: does token 7 appear; head1: is the sequence mostly high tokens
+    y0 = (src == 7).any(axis=1).astype(np.int32)
+    y1 = (src > 15).sum(axis=1) > 8
+    src = jnp.asarray(src)
+    y = (jnp.asarray(y0), jnp.asarray(y1.astype(np.int32)))
+    params = model.init({"params": jax.random.PRNGKey(0)}, src)
+    opt = optax.adam(3e-3)
+    opt_state = opt.init(params)
+
+    def loss_fn(p):
+        logits = model.apply(p, src)
+        return sum(
+            optax.softmax_cross_entropy_with_integer_labels(l, t).mean()
+            for l, t in zip(logits, y)
+        )
+
+    step = jax.jit(lambda p, s: (lambda g: opt.update(g, s, p))(jax.grad(loss_fn)(p)))
+    first = float(loss_fn(params))
+    for _ in range(150):
+        updates, opt_state = step(params, opt_state)
+        params = optax.apply_updates(params, updates)
+    final = float(loss_fn(params))
+    assert final < first * 0.2
+    logits = model.apply(params, src)
+    for l, t in zip(logits, y):
+        acc = float((jnp.argmax(l, -1) == t).mean())
+        assert acc >= 0.9
+
+
 def test_soft_label_weights():
     w = soft_label_weights(10, (2, 5), "medium")
     assert w.shape == (10, 10)
