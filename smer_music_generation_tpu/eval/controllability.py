@@ -13,7 +13,8 @@ achieved| differences:
 * :class:`ControllabilityEvaluator` — the driving loop
   (``:1681-2864``): tensile per masked bar, or one track's
   density / occupation / polyphony, with ``unk_mode`` ablations that blank
-  other controls to ``unk`` (``:1497-1516``).
+  bar-track controls to ``unk`` (``:1497-1516``; 1=one_unk, 2=bar_unk,
+  3=all_unk — see :func:`apply_unk_mode`).
 
 Results are plain dicts of diff lists, JSON-serializable (the reference
 pickles raw Python lists, ``:2815-2864``).
@@ -131,29 +132,76 @@ def recompute_bar_tension(
 # ---------------------------------------------------------------------------
 
 
-def apply_unk_mode(events: List[str], vocab: WordVocab, unk_mode: int,
-                   keep_track: Optional[int] = None) -> List[str]:
-    """Blank control tokens to ``unk`` per the ablation mode.
+def _track_control_token_set(vocab: WordVocab) -> set:
+    """d/o/y tokens only — the reference's ``track_control_tokens``
+    (``vocab.py:105-110``); tension/key are never blanked by unk modes."""
+    s: set = set()
+    for kind in ("density", "occupation", "polyphony"):
+        s.update(vocab.name_to_tokens.get(kind, []))
+    return s
 
-    0: untouched; 1: other tracks' leading bar-track controls; 2: all bar
-    tension tokens; 3: both (reference ``evaluation.py:1497-1516``).
+
+def apply_unk_mode(
+    events: List[str],
+    vocab: WordVocab,
+    unk_mode: int,
+    mask_tracks: Optional[Sequence[int]] = None,
+    mask_bars: Optional[Sequence[int]] = None,
+    selected_kind: Optional[str] = None,
+) -> List[str]:
+    """Blank bar-track control tokens to ``unk`` per the ablation mode.
+
+    Reference semantics (``evaluation.py:1497-1516`` flag matrix):
+
+    * 1 ``one_unk``: the masked tracks' per-bar copies of the *selected*
+      control kind only (``evaluation.py:2197-2210``); tensile runs skip
+      this mode entirely (``:1682``).
+    * 2 ``bar_unk``: all bar-track controls of the masked tracks
+      (``:2190-2195``) — or, for a bar-mask (tensile) run, every track's
+      controls within the masked bars (``:2083-2095``).
+    * 3 ``all_unk``: every d/o/y token from the first bar onward
+      (``:1959-1962``).
+
+    Bar tension tokens themselves are never blanked (the reference's
+    ``track_control_tokens`` excludes them, ``vocab.py:105-110``).
     """
     if unk_mode == 0:
         return events
     out = list(events)
+    blankable = _track_control_token_set(vocab)
     _, bar_poses, bars = bar_with_track_positions(out)
-    if unk_mode in (1, 3):
-        for tracks_in_bar in bars:
+    if unk_mode == 3:
+        if len(bar_poses):
+            for i in range(bar_poses[0], len(out)):
+                if out[i] in blankable:
+                    out[i] = "unk"
+        return out
+    if unk_mode == 2:
+        for bar_i, tracks_in_bar in enumerate(bars):
+            if mask_bars is not None and bar_i not in mask_bars:
+                continue
             for track_pos, (track_start, _) in enumerate(tracks_in_bar):
-                if keep_track is not None and track_pos == keep_track:
+                if (
+                    mask_bars is None
+                    and mask_tracks is not None
+                    and track_pos not in mask_tracks
+                ):
                     continue
-                for k in range(TOTAL_TRACK_CONTROL_TYPES):
-                    if out[track_start + k] in vocab.control_tokens:
+                for k in range(TOTAL_TRACK_CONTROL_TYPES + 1):
+                    if out[track_start + k] in blankable:
                         out[track_start + k] = "unk"
-    if unk_mode in (2, 3):
-        for bp in bar_poses:
-            if out[bp + 1] in vocab.name_to_tokens.get("tensile", []):
-                out[bp + 1] = "unk"
+        return out
+    # unk_mode == 1
+    if selected_kind is None or mask_tracks is None:
+        return out
+    kind_tokens = set(vocab.name_to_tokens.get(selected_kind, []))
+    for tracks_in_bar in bars:
+        for track_pos, (track_start, _) in enumerate(tracks_in_bar):
+            if track_pos not in mask_tracks:
+                continue
+            for k in range(TOTAL_TRACK_CONTROL_TYPES + 1):
+                if out[track_start + k] in kind_tokens:
+                    out[track_start + k] = "unk"
     return out
 
 
@@ -196,7 +244,7 @@ class ControllabilityEvaluator:
         _, bar_poses, bars_pos = bar_with_track_positions(events)
         for bar, value in zip(bars, new_values):
             events[bar_poses[bar] + 1] = f"s_{value}"
-        events = apply_unk_mode(events, self.vocab, self.unk_mode)
+        events = apply_unk_mode(events, self.vocab, self.unk_mode, mask_bars=list(bars))
         track_names = track_names_of(events)
         all_tracks = list(range(len(track_names)))
         gen = self.engine(
@@ -257,7 +305,9 @@ class ControllabilityEvaluator:
                     if 0 <= pos < len(events) and events[pos].startswith(prefix + "_"):
                         v = int(np.clip(new_value + py_rng.integers(-1, 2), 0, 9))
                         events[pos] = f"{prefix}_{v}"
-        events = apply_unk_mode(events, self.vocab, self.unk_mode, keep_track=track)
+        events = apply_unk_mode(
+            events, self.vocab, self.unk_mode, mask_tracks=[track], selected_kind=kind
+        )
         n_bars = sum(1 for e in events if e == "bar")
         gen = self.engine(events, [int(track_names[track][-1])], list(range(n_bars)), rng,
                           correct_controls=self._cc)
@@ -298,6 +348,10 @@ class ControllabilityEvaluator:
             n_bars = sum(1 for e in events if e == "bar")
             track_names = track_names_of(events)
             for kind in control_kinds:
+                if kind == "tensile" and self.unk_mode == 1:
+                    # reference skips tensile under one_unk: there is no
+                    # "selected track control" to blank (evaluation.py:1682)
+                    continue
                 rng, sub = jax.random.split(rng)
                 if kind == "tensile":
                     n_mut = int(py_rng.integers(1, min(4, n_bars) + 1))

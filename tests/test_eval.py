@@ -46,19 +46,62 @@ def test_recompute_bar_tension(vocab, mode2_events):
     assert t is not None and 0 <= t <= 11
 
 
-def test_apply_unk_mode(vocab, mode2_events):
+def _doy_tokens(vocab):
+    s = set()
+    for kind in ("density", "occupation", "polyphony"):
+        s.update(vocab.name_to_tokens.get(kind, []))
+    return s
+
+
+def test_apply_unk_mode_all_unk(vocab, mode2_events):
+    """Mode 3 (all_unk): every d/o/y token from the first bar on is blanked;
+    tension tokens survive (reference evaluation.py:1959-1962)."""
     events, _ = mode2_events
-    out = apply_unk_mode(list(events), vocab, 3, keep_track=0)
-    _, bar_poses, bars = bar_with_track_positions(out)
-    # tension blanked
-    assert all(out[bp + 1] == "unk" for bp in bar_poses if out[bp + 1] != "unk") or any(
-        out[bp + 1] == "unk" for bp in bar_poses
-    )
-    # track 1 leading controls blanked, track 0 kept
+    out = apply_unk_mode(list(events), vocab, 3)
+    _, bar_poses, _ = bar_with_track_positions(out)
+    doy = _doy_tokens(vocab)
+    assert all(t not in doy for t in out[bar_poses[0] :])
+    # bar tension tokens are NOT blanked
+    assert any(out[bp + 1].startswith("s_") for bp in bar_poses)
+    # header (pre-bar) track controls survive
+    assert any(t in doy for t in out[: bar_poses[0]])
+
+
+def test_apply_unk_mode_bar_unk_tracks(vocab, mode2_events):
+    """Mode 2 with mask_tracks: only the masked track's bar-track controls
+    are blanked (reference evaluation.py:2190-2195)."""
+    events, _ = mode2_events
+    out = apply_unk_mode(list(events), vocab, 2, mask_tracks=[1])
+    _, _, bars = bar_with_track_positions(out)
     t0_start = bars[0][0][0]
     t1_start = bars[0][1][0]
-    assert out[t0_start].startswith("d_")
-    assert out[t1_start] == "unk"
+    assert out[t0_start].startswith("d_")  # unmasked track kept
+    assert out[t1_start] == "unk"  # masked track blanked
+
+
+def test_apply_unk_mode_bar_unk_bars(vocab, mode2_events):
+    """Mode 2 with mask_bars (tensile run): every track's controls within
+    the masked bars only (reference evaluation.py:2083-2095)."""
+    events, _ = mode2_events
+    out = apply_unk_mode(list(events), vocab, 2, mask_bars=[0])
+    _, _, bars = bar_with_track_positions(out)
+    assert out[bars[0][0][0]] == "unk" and out[bars[0][1][0]] == "unk"
+    if len(bars) > 1:
+        assert out[bars[1][0][0]].startswith("d_")
+
+
+def test_apply_unk_mode_one_unk(vocab, mode2_events):
+    """Mode 1 (one_unk): only the selected kind's copies on the masked
+    track (reference evaluation.py:2197-2210)."""
+    events, _ = mode2_events
+    out = apply_unk_mode(
+        list(events), vocab, 1, mask_tracks=[0], selected_kind="density"
+    )
+    _, _, bars = bar_with_track_positions(out)
+    t0_start, _ = bars[0][0]
+    assert out[t0_start] == "unk"  # density copy blanked
+    assert out[t0_start + 1].startswith("o_")  # occupation kept
+    assert out[bars[0][1][0]].startswith("d_")  # other track untouched
 
 
 def test_recompute_track_controls_remi_stream(vocab, mode2_events):
