@@ -131,6 +131,42 @@ def recompute_bar_tension(
 
 # ---------------------------------------------------------------------------
 
+_KIND_PREFIX = {"density": "d", "occupation": "o", "polyphony": "y"}
+_KIND_ORDER = ("density", "occupation", "polyphony")
+
+
+def _bar_track_parts(
+    events: Sequence[str], tracks_in_bar, track: int
+) -> Tuple[List[str], List[str], Optional[List[str]], Optional[str]]:
+    """(leading copies, body, trailing copies | None, at-end s token | None)
+    of one bar-track segment.  Trailing copies exist only in control_mode-2
+    streams (reference ``dataset.py:121-153`` end duplication); detected by
+    token class so control_mode-1 streams return None."""
+    track_start, track_end = tracks_in_bar[track]
+    tensile_end = 1 if events[track_end - 1].startswith("s_") else 0
+    lead = list(events[track_start : track_start + TOTAL_TRACK_CONTROL_TYPES])
+    trail_lo = track_end - tensile_end - TOTAL_TRACK_CONTROL_TYPES
+    trail = list(events[trail_lo : track_end - tensile_end])
+    is_copy = len(trail) == TOTAL_TRACK_CONTROL_TYPES and all(
+        t == "unk" or t[:2] in ("d_", "o_", "y_") for t in trail
+    )
+    body_end = trail_lo if is_copy else track_end - tensile_end
+    body = list(events[track_start + TOTAL_TRACK_CONTROL_TYPES : body_end])
+    s_tok = events[track_end - 1] if tensile_end else None
+    return lead, body, (trail if is_copy else None), s_tok
+
+
+def _copy_value(copies: Optional[List[str]], kind: str) -> Optional[int]:
+    """Parse one kind's value out of a (d, o, y) copy triplet; None when the
+    slot is blanked/malformed (the reference's membership guards,
+    ``evaluation.py:2733-2737``)."""
+    if copies is None:
+        return None
+    tok = copies[_KIND_ORDER.index(kind)]
+    if tok[:2] != _KIND_PREFIX[kind] + "_" or not tok[2:].isdigit():
+        return None
+    return int(tok[2:])
+
 
 def _track_control_token_set(vocab: WordVocab) -> set:
     """d/o/y tokens only — the reference's ``track_control_tokens``
@@ -210,15 +246,51 @@ class EvalResult:
     control: str
     diffs: List[int] = field(default_factory=list)
     failures: int = 0
+    # secondary diff families, {family: {kind: [diffs]}} — the reference's
+    # extra pickle dumps (evaluation.py:2815-2858):
+    #   track runs:  changed_track_other (whole-window drift of the
+    #     non-selected kinds on the regenerated track, :2546-2556, signed),
+    #     target/other_original_calculated (per-bar calculated minus the
+    #     leading control copy, :2600-2650, signed), target/other_
+    #     predicted_calculated (per-bar calculated minus the model's at-end
+    #     copy, :2752-2813, signed)
+    #   tensile runs: bar_track_calculated_original / _predicted_calculated
+    #     (masked bars' per-track d/o/y, :2380-2450, abs), tension_
+    #     predicted_calculated (at-end s token vs measured, :2460-2478, abs)
+    secondary: Dict[str, Dict[str, List[int]]] = field(default_factory=dict)
+
+    def add_secondary(self, family: str, kind: str, diff: int) -> None:
+        self.secondary.setdefault(family, {}).setdefault(kind, []).append(int(diff))
+
+    def merge(self, other: "EvalResult") -> None:
+        self.diffs.extend(other.diffs)
+        self.failures += other.failures
+        for fam, kinds in other.secondary.items():
+            for kind, ds in kinds.items():
+                self.secondary.setdefault(fam, {}).setdefault(kind, []).extend(ds)
 
     def summary(self) -> Dict:
-        return {
+        out = {
             "control": self.control,
             "n": len(self.diffs),
             "mean_abs_diff": float(np.mean(self.diffs)) if self.diffs else None,
             "failures": self.failures,
             "diffs": self.diffs,
         }
+        if self.secondary:
+            out["secondary"] = {
+                fam: {
+                    kind: {
+                        "n": len(ds),
+                        "mean": float(np.mean(ds)) if ds else None,
+                        "mean_abs": float(np.mean(np.abs(ds))) if ds else None,
+                        "diffs": ds,
+                    }
+                    for kind, ds in kinds.items()
+                }
+                for fam, kinds in self.secondary.items()
+            }
+        return out
 
 
 class ControllabilityEvaluator:
@@ -233,6 +305,8 @@ class ControllabilityEvaluator:
         self.vocab = vocab
         self.unk_mode = unk_mode
         self._cc = "in_decode" if correct_controls else False
+        self.time_correct_list: List[int] = []
+        self.failed_times_list: List[int] = []
 
     # ------------------------------------------------------------------
     def evaluate_tensile(
@@ -254,7 +328,9 @@ class ControllabilityEvaluator:
         if gen is None:
             result.failures += 1
             return result
+        self._note_time_stats(gen)
         headers = self._headers(gen.events)
+        progs = [t for t in headers if t.startswith("i_")]
         _, out_bar_poses, out_bars = bar_with_track_positions(gen.events)
         for bar, value in zip(bars, new_values):
             lo = out_bar_poses[bar]
@@ -264,6 +340,48 @@ class ControllabilityEvaluator:
                 result.failures += 1
             else:
                 result.diffs.append(abs(int(value) - achieved))
+            if bar >= len(out_bars):
+                continue
+            # masked bars' per-track d/o/y drift and at-end predictions
+            # (reference evaluation.py:2380-2478, abs diffs)
+            tracks_in_bar = out_bars[bar]
+            for tr in range(len(tracks_in_bar)):
+                lead, body, trail, s_tok = _bar_track_parts(
+                    gen.events, tracks_in_bar, tr
+                )
+                hdr3 = [
+                    gen.events[0],
+                    gen.events[1],
+                    progs[tr] if tr < len(progs) else "i_0",
+                ]
+                d, o, y = recompute_bar_track_control(body, hdr3)
+                calc = {"density": d, "occupation": o, "polyphony": y}
+                for k2 in _KIND_ORDER:
+                    if calc[k2] < 0:
+                        continue
+                    if self.unk_mode != 2:  # skipped under bar_unk (:2387)
+                        v = _copy_value(lead, k2)
+                        if v is not None:
+                            result.add_secondary(
+                                "bar_track_calculated_original", k2,
+                                abs(calc[k2] - v),
+                            )
+                    v = _copy_value(trail, k2)
+                    if v is not None:
+                        result.add_secondary(
+                            "bar_track_predicted_calculated", k2,
+                            abs(calc[k2] - v),
+                        )
+                if (
+                    tr == len(tracks_in_bar) - 1
+                    and s_tok is not None
+                    and s_tok[2:].isdigit()
+                    and achieved is not None
+                ):
+                    result.add_secondary(
+                        "tension_predicted_calculated", "tensile",
+                        abs(achieved - int(s_tok[2:])),
+                    )
         return result
 
     def evaluate_track_control(
@@ -314,12 +432,75 @@ class ControllabilityEvaluator:
         if gen is None:
             result.failures += 1
             return result
+        self._note_time_stats(gen)
         achieved = recompute_track_controls(gen.events)
         if achieved is None or track >= len(achieved[kind]):
             result.failures += 1
             return result
         result.diffs.append(abs(int(new_value) - int(achieved[kind][track])))
+        self._track_secondary(result, gen.events, track, kind, achieved)
         return result
+
+    def _track_secondary(
+        self, result: EvalResult, events_out: Sequence[str], track: int,
+        kind: str, achieved: Dict,
+    ) -> None:
+        """Secondary diff families of a track-control run (signed, matching
+        the reference's conventions)."""
+        bar0 = next(i for i, t in enumerate(events_out) if t == "bar")
+        header = list(events_out[:bar0])
+        progs = [t for t in header if t.startswith("i_")]
+        # whole-window drift of the NON-selected kinds on the regenerated
+        # track (reference :2546-2556, original minus achieved)
+        for k2 in _KIND_ORDER:
+            if k2 == kind:
+                continue
+            pos = [
+                t for t in header
+                if t[:2] == _KIND_PREFIX[k2] + "_" and t[2:].isdigit()
+            ]
+            if track < len(pos) and track < len(achieved[k2]):
+                result.add_secondary(
+                    "changed_track_other", k2,
+                    int(pos[track][2:]) - int(achieved[k2][track]),
+                )
+        # per-bar copies on the masked track vs re-measured content
+        # (reference :2600-2813, calculated minus copy)
+        hdr3 = [
+            events_out[0], events_out[1],
+            progs[track] if track < len(progs) else "i_0",
+        ]
+        _, _, bars_out = bar_with_track_positions(list(events_out))
+        for tracks_in_bar in bars_out:
+            if track >= len(tracks_in_bar):
+                continue
+            lead, body, trail, _ = _bar_track_parts(events_out, tracks_in_bar, track)
+            d, o, y = recompute_bar_track_control(body, hdr3)
+            calc = {"density": d, "occupation": o, "polyphony": y}
+            for k2 in _KIND_ORDER:
+                if calc[k2] < 0:
+                    continue
+                fam = "target" if k2 == kind else "other"
+                # original copies: skipped under bar_unk entirely and under
+                # one_unk for the selected kind (:2600,:2610)
+                if self.unk_mode != 2 and not (k2 == kind and self.unk_mode == 1):
+                    v = _copy_value(lead, k2)
+                    if v is not None:
+                        result.add_secondary(
+                            f"{fam}_original_calculated", k2, calc[k2] - v
+                        )
+                v = _copy_value(trail, k2)
+                if v is not None:
+                    result.add_secondary(
+                        f"{fam}_predicted_calculated", k2, calc[k2] - v
+                    )
+
+    def _note_time_stats(self, gen) -> None:
+        """Reference ``time_correct_list`` / ``failed_times_list``
+        (evaluation.py:1319-1328) — re-decode attempts before the spans
+        closed their bar durations, and whether forced repair was needed."""
+        self.time_correct_list.append(int(getattr(gen, "time_corrections", 0)))
+        self.failed_times_list.append(int(getattr(gen, "time_failed", False)))
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -342,6 +523,8 @@ class ControllabilityEvaluator:
 
         rng = jax.random.PRNGKey(seed)
         py_rng = np.random.default_rng(seed)
+        self.time_correct_list = []
+        self.failed_times_list = []
         results = {k: EvalResult(k) for k in control_kinds}
         windows = list(test_windows)[: max_windows or len(test_windows)]
         for events in windows:
@@ -372,6 +555,21 @@ class ControllabilityEvaluator:
                     r = self.evaluate_track_control(
                         events, track, kind, value, sub, py_rng=py_rng
                     )
-                results[kind].diffs.extend(r.diffs)
-                results[kind].failures += r.failures
-        return {k: v.summary() for k, v in results.items()}
+                results[kind].merge(r)
+        out: Dict[str, Dict] = {k: v.summary() for k, v in results.items()}
+        # reference time_correct_list / failed_times_list dumps (:2858-2864)
+        out["time_stats"] = {
+            "time_correct_list": list(self.time_correct_list),
+            "failed_times_list": list(self.failed_times_list),
+            "mean_corrections": (
+                float(np.mean(self.time_correct_list))
+                if self.time_correct_list
+                else None
+            ),
+            "failed_rate": (
+                float(np.mean(self.failed_times_list))
+                if self.failed_times_list
+                else None
+            ),
+        }
+        return out

@@ -52,7 +52,21 @@ def main(argv=None) -> int:
         logger.warning("evaluating RANDOM weights (no --checkpoint)")
 
     groups, _ = load_batches(args.test_batches)
-    windows = [w for g in groups for w in g]
+    windows = [[str(t) for t in w] for g in groups for w in g]
+    if cfg.control_mode == 2:
+        # stored windows carry leading copies only; a control-mode-2 model
+        # was trained on streams with end-of-track duplication, so the eval
+        # batch must get the same insertion (reference evaluation.py:1916-1956)
+        from ..data.masking import copy_bar_controls_to_end
+
+        n_types = sum(
+            1 for k in ("density", "occupation", "polyphony")
+            if k in vocab.class_names
+        )
+        tension = "tensile" in vocab.class_names
+        windows = [
+            copy_bar_controls_to_end(w, vocab, n_types, tension) for w in windows
+        ]
     logger.info(f"{len(windows)} test windows")
 
     engine = InfillEngine(model, params, vocab)
@@ -62,7 +76,19 @@ def main(argv=None) -> int:
     )
     results = evaluator.run(windows, seed=args.seed, max_windows=args.max_windows)
     for k, v in results.items():
+        if k == "time_stats":
+            logger.info(
+                f"time repair: mean corrections {v['mean_corrections']} "
+                f"failed rate {v['failed_rate']}"
+            )
+            continue
         logger.info(f"{k}: n={v['n']} mean |set-achieved| = {v['mean_abs_diff']}")
+        for fam, kinds in v.get("secondary", {}).items():
+            for k2, s in kinds.items():
+                logger.info(
+                    f"  {fam}/{k2}: n={s['n']} mean={s['mean']:+.2f} "
+                    f"mean|.|={s['mean_abs']:.2f}"
+                )
     with open(args.output, "w") as f:
         json.dump(results, f, indent=2)
     logger.info(f"wrote {args.output}")

@@ -285,6 +285,11 @@ class InfillResult:
     mask_tracks: List[int]
     mask_bars: List[int]
     decode_steps: int
+    # reference parity: ``corrected_times`` / ``failed_times_list``
+    # (evaluation.py:1300-1397) — here per request, not per span, because
+    # the batched engine re-decodes all live spans in one program
+    time_corrections: int = 0  # re-decode attempts before spans closed
+    time_failed: bool = False  # exhausted retries; forced repair applied
 
 
 @dataclass
@@ -397,6 +402,18 @@ class InfillEngine:
 
         track_names = track_names_of(events)
         track_ids = [track_names.index(f"track_{t}") for t in tracks_to_generate]
+
+        # mask_bar_and_track expects the control-mode-2 serving layout
+        # (trailing d/o/y copies + bar-end tensile).  Stored dataset windows
+        # carry leading copies only; insert the end copies the way training
+        # and the reference's eval batch prep do (dataset.py:121-153,
+        # evaluation.py:1916-1956).  No-op on streams that already have
+        # them; must run before fill_empty_bars (whose appended bars are
+        # already mode-2, which would defeat the idempotence guard).
+        events = copy_bar_controls_to_end(
+            events, self.vocab, TOTAL_TRACK_CONTROL_TYPES,
+            "tensile" in self.vocab.class_names,
+        )
 
         n_bars = len([e for e in events if e == "bar"])
         if bars_to_generate and bars_to_generate[-1] >= n_bars:
@@ -547,7 +564,8 @@ class InfillEngine:
             else 0
         )
         live = n_spans.copy()
-        settled: Dict[int, Tuple[List[str], List[str], int]] = {}
+        settled: Dict[int, Tuple[List[str], List[str], int, int, bool]] = {}
+        check_close = fix_durations and self.vocab.mode == 0
         rng_try = rng
         for attempt in range(1 + retries):
             # attempt 0 was dispatched by run_batch (possibly pipelined
@@ -571,8 +589,9 @@ class InfillEngine:
                 src_tokens = [self.vocab.index2char(int(t)) for t in r.src]
                 restored = restore_marked_input(src_tokens, generated)
                 last = attempt == retries
-                if last or self._spans_close(restored, r):
-                    settled[i] = (restored, generated, int(steps))
+                closed = self._spans_close(restored, r) if check_close else True
+                if last or closed:
+                    settled[i] = (restored, generated, int(steps), attempt, closed)
                     live[i] = 0
             if not np.any(live):
                 break
@@ -587,9 +606,9 @@ class InfillEngine:
                 continue
             if i not in settled:  # n_spans was 0 from the start
                 settled[i] = (
-                    [self.vocab.index2char(int(t)) for t in r.src], [], 0
+                    [self.vocab.index2char(int(t)) for t in r.src], [], 0, 0, True
                 )
-            restored, generated, steps_i = settled[i]
+            restored, generated, steps_i, attempts_i, closed_i = settled[i]
             if fix_durations and self.vocab.mode == 0:
                 # REMI (mode 1) has explicit onsets; bar-sum repair is a
                 # SMER-only concern
@@ -603,9 +622,39 @@ class InfillEngine:
                     mask_tracks=r.mask_tracks,
                     mask_bars=r.mask_bars,
                     decode_steps=steps_i,
+                    time_corrections=attempts_i,
+                    time_failed=not closed_i,
                 )
             )
         return results
+
+    def _body_bounds(
+        self, events: List[str], track_start: int, track_end: int
+    ) -> Tuple[int, int]:
+        """(body_start, body_end) of one bar-track segment.
+
+        Trailing control copies and the at-end tensile token exist only in
+        control-mode-2 streams (reference ``dataset.py:121-153``) — detect
+        them by token class instead of assuming the layout, so leading-only
+        (control-mode 0/1) streams keep their full body.
+        """
+        tens = self.vocab.name_to_tokens.get("tensile", [])
+
+        def is_copy_triplet(c: List[str]) -> bool:
+            return len(c) == TOTAL_TRACK_CONTROL_TYPES and all(
+                t == "unk" or t[:2] in ("d_", "o_", "y_") for t in c
+            )
+
+        end = track_end
+        if events[end - 1] in tens:
+            end -= 1
+        elif events[end - 1] == "unk" and is_copy_triplet(
+            list(events[end - 1 - TOTAL_TRACK_CONTROL_TYPES : end - 1])
+        ):
+            end -= 1  # corrupted at-end tensile, preceded by end copies
+        if is_copy_triplet(list(events[end - TOTAL_TRACK_CONTROL_TYPES : end])):
+            end -= TOTAL_TRACK_CONTROL_TYPES
+        return track_start + TOTAL_TRACK_CONTROL_TYPES, end
 
     def _spans_close(self, events: List[str], req: "PreparedRequest") -> bool:
         """True when every regenerated (bar, track) body already sums to the
@@ -618,16 +667,8 @@ class InfillEngine:
             if bar_num >= len(bars) or track_pos >= len(bars[bar_num]):
                 return False
             track_start, track_end = bars[bar_num][track_pos]
-            tensile_end = (
-                1
-                if events[track_end - 1] in self.vocab.name_to_tokens.get("tensile", [])
-                else 0
-            )
-            body = events[
-                track_start + TOTAL_TRACK_CONTROL_TYPES
-                : track_end - TOTAL_TRACK_CONTROL_TYPES - tensile_end
-            ]
-            ok, _ = check_track_total_time(body, req.table)
+            body_start, body_end = self._body_bounds(events, track_start, track_end)
+            ok, _ = check_track_total_time(events[body_start:body_end], req.table)
             if not ok:
                 return False
         return True
@@ -798,7 +839,9 @@ class InfillEngine:
             settled_groups = gi + 1
 
         restored = restore_marked_input(src_tokens, generated)
+        closed = True
         if fix_durations and self.vocab.mode == 0:
+            closed = self._spans_close(restored, req)
             restored = self._repair_durations(restored, req.table)
         return InfillResult(
             events=restored,
@@ -806,6 +849,7 @@ class InfillEngine:
             mask_tracks=req.mask_tracks,
             mask_bars=req.mask_bars,
             decode_steps=len(generated),
+            time_failed=not closed,
         )
 
     def _measured_tensile(
@@ -886,14 +930,7 @@ class InfillEngine:
         # walk bars in reverse so earlier indices stay valid after edits
         for tracks_in_bar in reversed(bars):
             for track_start, track_end in reversed(tracks_in_bar):
-                tensile_end = (
-                    1
-                    if out[track_end - 1] in self.vocab.name_to_tokens.get("tensile", [])
-                    or (track_end - 1 < len(out) and out[track_end - 1] == "unk")
-                    else 0
-                )
-                body_start = track_start + TOTAL_TRACK_CONTROL_TYPES
-                body_end = track_end - TOTAL_TRACK_CONTROL_TYPES - tensile_end
+                body_start, body_end = self._body_bounds(out, track_start, track_end)
                 if body_end <= body_start:
                     continue
                 body = out[body_start:body_end]

@@ -150,6 +150,67 @@ def test_recompute_bar_metrics_remi(vocab, mode2_events):
     assert t == smer_t
 
 
+def test_bar_track_parts(vocab, mode2_events):
+    from smer_music_generation_tpu.eval.controllability import _bar_track_parts
+
+    events, _ = mode2_events
+    _, _, bars = bar_with_track_positions(events)
+    lead, body, trail, s_tok = _bar_track_parts(events, bars[0], 0)
+    assert [t[:2] for t in lead] == ["d_", "o_", "y_"]
+    assert trail is not None and [t[:2] for t in trail] == ["d_", "o_", "y_"]
+    assert s_tok is None  # track 0 is not the bar's last track
+    assert all(t[:2] not in ("d_", "o_", "y_") for t in body)
+    _, _, trail1, s_tok1 = _bar_track_parts(events, bars[0], 1)
+    assert trail1 is not None
+    assert s_tok1 is not None and s_tok1.startswith("s_")
+
+
+def test_evaluator_track_secondary_families(vocab, mode2_events, tiny_engine):
+    """Track runs report the reference's extra diff families
+    (evaluation.py:2546-2813) and time-repair stats (:1319-1328)."""
+    events, _ = mode2_events
+    ev = ControllabilityEvaluator(tiny_engine, vocab)
+    res = ev.evaluate_track_control(events, 0, "density", 4, jax.random.PRNGKey(5))
+    assert len(ev.time_correct_list) == 1 and len(ev.failed_times_list) == 1
+    if res.diffs:
+        other = res.secondary.get("changed_track_other", {})
+        assert set(other) == {"occupation", "polyphony"}
+        # control-mode-2 stream: at-end copies exist, so predicted families
+        # are populated for at least one bar
+        fams = set(res.secondary)
+        assert fams & {
+            "target_predicted_calculated",
+            "target_original_calculated",
+            "other_original_calculated",
+        }
+        s = res.summary()
+        fam = next(iter(res.secondary))
+        kind = next(iter(res.secondary[fam]))
+        assert s["secondary"][fam][kind]["n"] == len(res.secondary[fam][kind])
+
+
+def test_evaluator_tensile_secondary_families(vocab, mode2_events, tiny_engine):
+    events, _ = mode2_events
+    ev = ControllabilityEvaluator(tiny_engine, vocab)
+    res = ev.evaluate_tensile(events, [1], [5], jax.random.PRNGKey(3))
+    assert len(ev.time_correct_list) == 1
+    if res.diffs:
+        assert set(res.secondary) & {
+            "bar_track_calculated_original",
+            "bar_track_predicted_calculated",
+            "tension_predicted_calculated",
+        }
+
+
+def test_run_reports_time_stats(vocab, mode2_events, tiny_engine):
+    events, _ = mode2_events
+    ev = ControllabilityEvaluator(tiny_engine, vocab)
+    out = ev.run([events], control_kinds=("density",), max_windows=1)
+    assert "time_stats" in out
+    ts = out["time_stats"]
+    assert len(ts["time_correct_list"]) == len(ts["failed_times_list"])
+
+
 def test_evaluator_tensile_flow(vocab, mode2_events, tiny_engine):
     events, _ = mode2_events
     ev = ControllabilityEvaluator(tiny_engine, vocab)

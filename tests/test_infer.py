@@ -849,3 +849,39 @@ def test_engine_mesh_pads_batch_to_dp_multiple(vocab, mode2_events, tiny_engine)
     results = engine.run_batch(reqs, jax.random.PRNGKey(3))
     assert len(results) == 3 and all(r is not None for r in results)
     assert all(b % 8 == 0 for b in seen), seen
+
+
+def test_repair_preserves_leading_only_stream(vocab, tiny_engine):
+    """Corpus-layout streams carry leading copies only; _repair_durations
+    must not mistake the last body tokens for end copies and truncate them
+    (regression: every eval decode exhausted its retries and the repair
+    rewrote correct bars)."""
+    from smer_music_generation_tpu.codec.durations import duration_table_for_signature
+
+    events = [
+        "2/4", "t_3", "k_4", "d_1", "o_4", "y_0", "i_35",
+        "bar", "s_2", "track_0", "d_1", "o_5", "y_0",
+        "p_35", "quarter", "rest", "quarter",
+        "bar", "s_0", "track_0", "d_0", "o_0", "y_0", "rest", "half",
+    ]
+    table = duration_table_for_signature((2, 4), tempo=60.0)
+    out = tiny_engine._repair_durations(list(events), table)
+    assert out == events
+
+    req = tiny_engine.prepare(events, [0], [0, 1])
+    assert tiny_engine._spans_close(events, req)
+
+
+def test_body_bounds_both_layouts(vocab, tiny_engine, mode2_events):
+    """_body_bounds detects end copies by token class: mode-2 streams strip
+    the trailing (d,o,y)[+s] run, leading-only streams keep the full body."""
+    from smer_music_generation_tpu.codec.structure import bar_with_track_positions
+
+    events, _ = mode2_events
+    _, _, bars = bar_with_track_positions(events)
+    ts, te = bars[0][0]
+    bs, be = tiny_engine._body_bounds(events, ts, te)
+    body = events[bs:be]
+    assert all(t[:2] not in ("d_", "o_", "y_") for t in body)
+    # trailing copies were stripped (control-mode-2 fixture has them)
+    assert events[be][:2] == "d_"
