@@ -227,3 +227,24 @@ def test_evaluator_track_control_flow(vocab, mode2_events, tiny_engine):
     assert res.failures + len(res.diffs) == 1
     summary = res.summary()
     assert summary["control"] == "density"
+
+
+def test_apply_unk_mode_trailing_copies(vocab, mode2_events):
+    """At-end copies: modes 1/2 blank leading copies only (reference blanks
+    range(track_start, track_start+total+1), evaluation.py:2190-2214); mode 3
+    blanks every d/o/y token including the trailing copies (:1959-1962)."""
+    from smer_music_generation_tpu.eval.controllability import _bar_track_parts
+
+    events, _ = mode2_events
+    _, _, bars = bar_with_track_positions(events)
+
+    out2 = apply_unk_mode(list(events), vocab, 2, mask_tracks=[0])
+    _, _, bars2 = bar_with_track_positions(out2)
+    lead, _, trail, _ = _bar_track_parts(out2, bars2[0], 0)
+    assert lead == ["unk"] * 3
+    assert trail is not None and trail[0].startswith("d_")  # trailing kept
+
+    out3 = apply_unk_mode(list(events), vocab, 3)
+    _, _, bars3 = bar_with_track_positions(out3)
+    lead3, _, trail3, _ = _bar_track_parts(out3, bars3[0], 0)
+    assert lead3 == ["unk"] * 3 and trail3 == ["unk"] * 3
