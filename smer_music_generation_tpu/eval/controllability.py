@@ -323,7 +323,7 @@ class ControllabilityEvaluator:
         all_tracks = list(range(len(track_names)))
         gen = self.engine(
             events, [int(n[-1]) for n in track_names], list(bars), rng,
-            correct_controls=self._cc,
+            correct_controls=self._cc, span_retries=True,
         )
         if gen is None:
             result.failures += 1
@@ -428,7 +428,7 @@ class ControllabilityEvaluator:
         )
         n_bars = sum(1 for e in events if e == "bar")
         gen = self.engine(events, [int(track_names[track][-1])], list(range(n_bars)), rng,
-                          correct_controls=self._cc)
+                          correct_controls=self._cc, span_retries=True)
         if gen is None:
             result.failures += 1
             return result
@@ -498,7 +498,15 @@ class ControllabilityEvaluator:
     def _note_time_stats(self, gen) -> None:
         """Reference ``time_correct_list`` / ``failed_times_list``
         (evaluation.py:1319-1328) — re-decode attempts before the spans
-        closed their bar durations, and whether forced repair was needed."""
+        closed their bar durations, and whether forced repair was needed.
+        Per-span-group granularity when the engine ran span retries."""
+        per_span = getattr(gen, "time_corrections_per_span", None)
+        if per_span is not None:
+            self.time_correct_list.extend(int(c) for c in per_span)
+            self.failed_times_list.extend(
+                int(f) for f in gen.time_failed_per_span
+            )
+            return
         self.time_correct_list.append(int(getattr(gen, "time_corrections", 0)))
         self.failed_times_list.append(int(getattr(gen, "time_failed", False)))
 

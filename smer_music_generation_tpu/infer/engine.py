@@ -290,6 +290,10 @@ class InfillResult:
     # the batched engine re-decodes all live spans in one program
     time_corrections: int = 0  # re-decode attempts before spans closed
     time_failed: bool = False  # exhausted retries; forced repair applied
+    # per-span-group counts (run_with_span_retries only) — the reference's
+    # per-span time_correct_list granularity (evaluation.py:1319-1328)
+    time_corrections_per_span: Optional[List[int]] = None
+    time_failed_per_span: Optional[List[int]] = None
 
 
 @dataclass
@@ -681,11 +685,18 @@ class InfillEngine:
         rng,
         fix_durations: bool = True,
         correct_controls=False,
+        span_retries: bool = False,
     ) -> Optional[InfillResult]:
         """``correct_controls``: False, True (post-hoc rewrite of the
         restored stream) or ``"in_decode"`` (the reference's
         ``use_correct_control`` — later spans condition on measured
-        controls; see :meth:`run_with_correct_controls`)."""
+        controls; see :meth:`run_with_correct_controls`).
+
+        ``span_retries``: regenerate per span group with a teacher-forced
+        settled prefix (the reference's eval retry loop,
+        ``evaluation.py:1300-1397``) instead of re-decoding the whole
+        request.  Uses the XLA forced-prefix decoder, so serving keeps the
+        fused whole-request path by default."""
         req = self.prepare(events, tracks_to_generate, bars_to_generate)
         if req is None:
             return None
@@ -693,9 +704,158 @@ class InfillEngine:
             return self.run_with_correct_controls(
                 req, rng, fix_durations=fix_durations
             )
+        if (
+            span_retries
+            and fix_durations
+            and self.vocab.mode == 0
+            and not self.decoder.greedy
+            and self.max_time_fix_attempts > 0
+        ):
+            result = self.run_with_span_retries(req, rng, fix_durations=True)
+            if result is not None and correct_controls:
+                result.events = self._correct_controls(
+                    result.events, req.mask_bars, req.mask_tracks
+                )
+            return result
         return self.run_batch(
             [req], rng, fix_durations=fix_durations, correct_controls=correct_controls
         )[0]
+
+    def run_with_span_retries(
+        self,
+        req: "PreparedRequest",
+        rng,
+        fix_durations: bool = True,
+    ) -> Optional[InfillResult]:
+        """Per-span-group regeneration (reference ``evaluation.py:1300-1397``).
+
+        Masked (bar, track) groups settle in source order: a group whose
+        body closes the bar duration is accepted; otherwise it is re-decoded
+        with fresh sampling noise while every already-settled group is
+        teacher-forced, up to ``max_time_fix_attempts`` times, after which
+        it is accepted as-is (and later rewritten by the forced duration
+        repair) and the loop moves on — the reference's
+        ``corrected_times > 10, continue generation`` branch (``:1326-1335``).
+
+        Contrast :meth:`run_batch`'s whole-request retry, where ALL live
+        spans must close in the same sample — with 16+ groups per request
+        that almost never happens, so the batched path converges to "exhaust
+        retries, force-repair everything".  Here each group retries
+        independently, which is both the reference's behavior and far more
+        likely to keep sampled (unrepaired) music.
+        """
+        decoder = self._eval_decoder
+        src_tokens = [self.vocab.index2char(int(t)) for t in req.src]
+        span_codes = list(req.span_codes)
+        n_spans = len(span_codes)
+        if n_spans == 0:
+            return None
+        if n_spans > decoder.max_spans:
+            return None
+
+        groups: List[List[int]] = []
+        for k, code in enumerate(span_codes):
+            if code == SPAN_CODE["r"]:
+                groups.append([k])
+            elif groups:
+                groups[-1].append(k)
+        group_slots = sorted(zip(req.mask_bars, req.mask_tracks))
+
+        src_b = pad_to_bucket(np.asarray(req.src, np.int32)[None])
+        span_types = np.zeros((1, decoder.max_spans), np.int32)
+        span_types[0, :n_spans] = span_codes
+        n_spans_b = np.asarray([n_spans], np.int32)
+        no_whole = np.asarray([req.no_whole_duration])
+
+        settled = 0
+        attempts: Dict[int, int] = {}
+        corrections: List[int] = []
+        failed: List[int] = []
+        forced_stream: List[str] = []
+        generated: List[str] = []
+        restored = src_tokens
+        decode_i = 0
+        # terminates: every iteration settles >= 1 group or increments the
+        # current group's attempt counter, which is capped
+        max_decodes = len(groups) * (self.max_time_fix_attempts + 1)
+        while settled < len(groups) and decode_i < max_decodes:
+            if forced_stream:
+                forced_ids = np.asarray(
+                    [[self.vocab.char2index(t) for t in forced_stream]], np.int32
+                )
+                forced_len = np.asarray([len(forced_stream)], np.int32)
+            else:
+                forced_ids = forced_len = None
+            out = decoder(
+                self.params, src_b, span_types, n_spans_b, no_whole,
+                jax.random.fold_in(rng, decode_i),
+                forced=forced_ids, forced_len=forced_len,
+            )
+            decode_i += 1
+            tokens, lengths = jax.device_get((out.tokens, out.lengths))
+            generated = [
+                self.vocab.index2char(int(t)) for t in tokens[0][: int(lengths[0])]
+            ]
+            spans = _split_spans(generated)
+            if len(spans) < n_spans:
+                break  # token budget exhausted; keep what we have
+            restored = restore_marked_input(src_tokens, generated)
+            progressed = True
+            while settled < len(groups) and progressed:
+                bar_num, track_pos = group_slots[settled]
+                if self._group_closes(restored, req, bar_num, track_pos):
+                    corrections.append(attempts.get(settled, 0))
+                    failed.append(0)
+                    settled += 1
+                elif attempts.get(settled, 0) >= self.max_time_fix_attempts:
+                    corrections.append(attempts[settled])
+                    failed.append(1)
+                    settled += 1
+                else:
+                    attempts[settled] = attempts.get(settled, 0) + 1
+                    progressed = False
+            if settled >= len(groups):
+                break
+            last_span = groups[settled - 1][-1] if settled else -1
+            forced_stream = []
+            for si in range(last_span + 1):
+                forced_stream.append("m_0")
+                forced_stream.extend(spans[si])
+
+        # groups left unsettled by an early break (token budget exhausted)
+        # count as failed — the forced repair rewrites them below
+        for gi in range(settled, len(groups)):
+            corrections.append(attempts.get(gi, 0))
+            failed.append(1)
+
+        if fix_durations and self.vocab.mode == 0:
+            restored = self._repair_durations(restored, req.table)
+        return InfillResult(
+            events=restored,
+            generated=generated,
+            mask_tracks=req.mask_tracks,
+            mask_bars=req.mask_bars,
+            decode_steps=len(generated),
+            time_corrections=sum(corrections),
+            time_failed=any(failed),
+            time_corrections_per_span=corrections,
+            time_failed_per_span=failed,
+        )
+
+    def _group_closes(
+        self, events: List[str], req: "PreparedRequest", bar_num: int, track_pos: int
+    ) -> bool:
+        """One (bar, track) group's body sums exactly to the bar duration."""
+        try:
+            _, _, bars = bar_with_track_positions(events)
+        except (IndexError, ValueError):
+            return False
+        if bar_num >= len(bars) or track_pos >= len(bars[bar_num]):
+            return False
+        track_start, track_end = bars[bar_num][track_pos]
+        body_start, body_end = self._body_bounds(events, track_start, track_end)
+        ok, _ = check_track_total_time(events[body_start:body_end], req.table)
+        return ok
 
     # ------------------------------------------------------------------
     @property
@@ -709,6 +869,7 @@ class InfillEngine:
                 self.model,
                 self.vocab,
                 max_tgt_len=self.decoder.max_tgt_len,
+                max_spans=self.decoder.max_spans,
                 nucleus_p=self.decoder.nucleus_p,
                 temperature=self.decoder.temperature,
                 greedy=self.decoder.greedy,

@@ -885,3 +885,28 @@ def test_body_bounds_both_layouts(vocab, tiny_engine, mode2_events):
     assert all(t[:2] not in ("d_", "o_", "y_") for t in body)
     # trailing copies were stripped (control-mode-2 fixture has them)
     assert events[be][:2] == "d_"
+
+
+def test_span_retries_settles_groups_in_order(vocab, mode2_events, tiny_engine):
+    """run_with_span_retries: per-group regeneration with teacher-forced
+    settled prefix (reference evaluation.py:1300-1397).  With random weights
+    and attempts=1 most groups exhaust and are accepted; per-span stats must
+    cover every masked (bar, track) group and the stream stays well-formed."""
+    events, _ = mode2_events
+    req = tiny_engine.prepare(events, [0], [1, 2])
+    res = tiny_engine.run_with_span_retries(req, jax.random.PRNGKey(7))
+    assert res is not None
+    assert res.time_corrections_per_span is not None
+    assert len(res.time_corrections_per_span) == len(req.mask_bars)
+    assert len(res.time_failed_per_span) == len(req.mask_bars)
+    assert res.time_corrections == sum(res.time_corrections_per_span)
+    assert "m_0" not in res.events
+    assert res.events.count("bar") == events.count("bar")
+    # repaired output closes every masked bar
+    assert tiny_engine._spans_close(res.events, req)
+
+
+def test_call_span_retries_flag(vocab, mode2_events, tiny_engine):
+    events, _ = mode2_events
+    res = tiny_engine(events, [0], [3], jax.random.PRNGKey(9), span_retries=True)
+    assert res is not None and res.time_corrections_per_span is not None
