@@ -32,9 +32,21 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--profile", action="store_true")
     ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--remat", action="store_true", help="per-layer jax.checkpoint")
+    ap.add_argument("--donate", action="store_true",
+                    help="donate the train state (pessimal over a tunnelled "
+                         "backend — r2 finding 1)")
+    ap.add_argument("--no_rbg", action="store_true", help="threefry dropout RNG")
+    ap.add_argument("--real_shapes", action="store_true",
+                    help="sweep the real packed-loader regime instead of the "
+                         "synthetic long-sequence grid")
+    ap.add_argument("--out", default="/tmp/train_sweep.json")
     args = ap.parse_args()
 
     import jax
+
+    if not args.no_rbg:
+        jax.config.update("jax_default_prng_impl", "unsafe_rbg")
     import jax.numpy as jnp
 
     from smer_music_generation_tpu.train.loss import build_loss_tables
@@ -49,27 +61,41 @@ def main():
     enable_persistent_cache()
     vocab = WordVocab(0, CONTROL_SETS[5])
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
-    model = build_model(vocab.vocab_size, dtype=dtype)
+    model = build_model(vocab.vocab_size, dtype=dtype, remat=args.remat)
     params = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(0)},
         jnp.ones((1, 64), jnp.int32), jnp.ones((1, 64), jnp.int32),
     )
     tables = build_loss_tables(vocab)
-    step = jax.jit(make_train_step(model, tables, dropout=True), donate_argnums=(0,))
+    step = jax.jit(
+        make_train_step(model, tables, dropout=True),
+        donate_argnums=(0,) if args.donate else (),
+    )
 
     PEAK = 197e12  # v5e bf16 peak FLOP/s
-    configs = [
-        (8, 2048, 512),    # round-1 bench point
-        (16, 2048, 512),
-        (32, 2048, 512),
-        (64, 2048, 512),
-        (8, 1024, 1024),
-        (32, 1024, 1024),
-        (16, 2304, 1024),  # real packed shape: groups <=2200 src, long tgt
-        (32, 1024, 512),
-        (64, 1024, 512),
-        (128, 512, 512),
-    ]
+    if args.real_shapes:
+        configs = [
+            (8, 640, 384),     # the natural packed-group collate shape
+            (16, 640, 384),
+            (32, 640, 384),
+            (64, 640, 384),
+            (8, 2048, 512),
+            (32, 2048, 512),   # OOMs without remat
+            (64, 2048, 512),
+        ]
+    else:
+        configs = [
+            (8, 2048, 512),    # round-1 bench point
+            (16, 2048, 512),
+            (32, 2048, 512),
+            (64, 2048, 512),
+            (8, 1024, 1024),
+            (32, 1024, 1024),
+            (16, 2304, 1024),  # real packed shape: groups <=2200 src, long tgt
+            (32, 1024, 512),
+            (64, 1024, 512),
+            (128, 512, 512),
+        ]
     results = []
     for B, S, T in configs:
         batch = {
@@ -83,7 +109,7 @@ def main():
         state = TrainState.create(params, lr=1e-4)
         try:
             state, m = step(state, batch, jnp.float32(0.8), rng)
-            jax.block_until_ready(m["loss"])
+            jax.device_get(m["loss"])  # block_until_ready lies over the tunnel
             n = args.steps
             t0 = time.perf_counter()
             for _ in range(n):
@@ -120,14 +146,14 @@ def main():
         state = TrainState.create(params, lr=1e-4)
         rng = jax.random.PRNGKey(0)
         state, m = step(state, batch, jnp.float32(0.8), rng)
-        jax.block_until_ready(m["loss"])
+        jax.device_get(m["loss"])
         with jax.profiler.trace("/tmp/train_trace"):
             for _ in range(3):
                 state, m = step(state, batch, jnp.float32(0.8), rng)
             jax.device_get(m["loss"])
         print("trace written to /tmp/train_trace")
 
-    with open("/tmp/train_sweep.json", "w") as f:
+    with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
 
 

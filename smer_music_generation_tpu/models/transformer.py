@@ -67,6 +67,15 @@ class ModelConfig:
     # Falls back to the XLA path when sequence lengths are not multiples
     # of the kernel block size (128).
     flash_training: bool = False
+    # Rematerialize each encoder/decoder layer in the backward pass
+    # (jax.checkpoint, nothing-saveable): the f32 (B, H, T, S) attention
+    # score/weight temporaries and dropout masks are recomputed instead of
+    # held as residuals, trading ~1/3 extra forward FLOPs for O(layers x
+    # B x H x S^2) less HBM.  Extends the trainable envelope (the XLA path
+    # OOMs at 32 x 2048 without it, docs/PERFORMANCE.md); measured
+    # throughput effect documented there.  Numerics are exact (same ops,
+    # same RNG draws, recomputed).
+    remat: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -288,11 +297,19 @@ class ScoreTransformer(nn.Module):
         )
         self.pos_table = sinusoidal_table(c.max_len, c.d_model)
         self.pos_dropout = nn.Dropout(rate=c.pos_dropout)
+        enc_cls, dec_cls = EncoderLayer, DecoderLayer
+        if c.remat:
+            # static_argnums counts the bound module as arg 0:
+            # EncoderLayer(self, x, mask, deterministic, ...) -> 3,
+            # DecoderLayer(self, x, memory, self_mask, cross_mask,
+            # deterministic, ...) -> 5.  Param tree is unchanged.
+            enc_cls = nn.remat(EncoderLayer, static_argnums=(3,))
+            dec_cls = nn.remat(DecoderLayer, static_argnums=(5,))
         self.encoder_layers = [
-            EncoderLayer(c, name=f"encoder_{i}") for i in range(c.num_encoder_layers)
+            enc_cls(c, name=f"encoder_{i}") for i in range(c.num_encoder_layers)
         ]
         self.decoder_layers = [
-            DecoderLayer(c, name=f"decoder_{i}") for i in range(c.num_decoder_layers)
+            dec_cls(c, name=f"decoder_{i}") for i in range(c.num_decoder_layers)
         ]
         self.fc = nn.Dense(
             c.vocab_size, kernel_init=_dense_init, dtype=jnp.float32, name="fc"

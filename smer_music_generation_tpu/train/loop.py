@@ -81,6 +81,7 @@ class Trainer:
             dropout=cfg.dropout,
             dtype=dtype,
             flash_training=cfg.flash_training,
+            remat=cfg.remat,
         )
         self.tables = build_loss_tables(self.vocab)
         self.mesh = make_mesh(cfg.n_devices or None, tp=cfg.tp)

@@ -152,6 +152,7 @@ def build_model(
     dtype=jnp.float32,
     flash_training: bool = False,
     final_norm: bool = True,
+    remat: bool = False,
 ) -> ScoreTransformer:
     """The flagship config (reference ``config/config.yaml:26-43``)."""
     cfg = ModelConfig(
@@ -167,6 +168,7 @@ def build_model(
         dtype=dtype,
         flash_training=flash_training,
         final_norm=final_norm,
+        remat=remat,
     )
     return ScoreTransformer(cfg)
 

@@ -43,6 +43,10 @@ class ExperimentConfig:
     # fused flash attention with VJP for the train step (off by default:
     # measured slower than XLA at the flagship shape; see models/transformer)
     flash_training: bool = False
+    # rematerialize encoder/decoder layers in bwd (saves the O(S^2) f32
+    # attention temporaries; extends the trainable envelope — see
+    # docs/PERFORMANCE.md remat section)
+    remat: bool = False
 
     # optimisation
     lr: float = 1e-4
@@ -118,6 +122,7 @@ class ExperimentConfig:
         parser.add_argument("--nhead", type=int, default=defaults.nhead)
         parser.add_argument("--num_layers", type=int, default=defaults.num_layers)
         parser.add_argument("--flash_training", action="store_true")
+        parser.add_argument("--remat", action="store_true")
         parser.add_argument("--batch_size", type=int, default=defaults.batch_size)
         parser.add_argument("--tp", type=int, default=defaults.tp)
         parser.add_argument("--no_bf16", action="store_true")
@@ -144,6 +149,7 @@ class ExperimentConfig:
             nhead=args.nhead,
             num_layers=args.num_layers,
             flash_training=args.flash_training,
+            remat=args.remat,
             batch_size=args.batch_size,
             tp=args.tp,
             bf16=not args.no_bf16,

@@ -238,3 +238,34 @@ def test_flash_training_flag_fallback_and_api():
     l1, w1 = m1.apply(params, src, tgt)
     assert np.allclose(np.asarray(l0), np.asarray(l1))
     assert w1 is not None  # fallback path still returns weights
+
+
+def test_remat_exact_loss_and_grads():
+    """remat=True (per-layer jax.checkpoint) must not change numerics or
+    the param tree: same ops, same dropout RNG draws, recomputed in bwd."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from smer_music_generation_tpu.train.state import build_model
+
+    def run(remat):
+        m = build_model(64, d_model=32, nhead=2, num_layers=2, d_ff=64,
+                        max_len=128, dropout=0.1, remat=remat)
+        src = jnp.arange(24, dtype=jnp.int32).reshape(2, 12) % 60
+        tgt = jnp.arange(16, dtype=jnp.int32).reshape(2, 8) % 60
+        params = m.init({"params": jax.random.PRNGKey(0)}, src, tgt)
+
+        def loss(p):
+            logits, _ = m.apply(p, src, tgt, deterministic=False,
+                                rngs={"dropout": jax.random.PRNGKey(3)})
+            return jnp.mean(logits ** 2)
+
+        return params, jax.jit(jax.value_and_grad(loss))(params)
+
+    p0, (l0, g0) = run(False)
+    p1, (l1, g1) = run(True)
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
