@@ -898,6 +898,14 @@ class InfillEngine:
         point and re-decode the remainder.  Each round settles at least one
         group, so rounds <= number of masked slots (and is 1 when the model
         already emits the measured values).
+
+        The reference's ``use_correct_control`` eval still runs inside its
+        ``check_total_time`` regeneration loop (``evaluation.py:1300-1397``),
+        so this path ALSO retries each group for bar-duration closure (same
+        semantics as :meth:`run_with_span_retries`): a group only settles —
+        and only then has its controls measured and substituted — once its
+        body closes the bar duration or ``max_time_fix_attempts`` fresh
+        samples have been spent on it.
         """
         from ..eval.controllability import recompute_bar_track_control
 
@@ -936,11 +944,29 @@ class InfillEngine:
         n_spans_b = np.asarray([n_spans], np.int32)
         no_whole = np.asarray([req.no_whole_duration])
 
-        settled_groups = 0
+        check_close = fix_durations and self.vocab.mode == 0
+        retry_time = (
+            check_close
+            and not self.decoder.greedy  # fresh noise needs sampling
+            and self.max_time_fix_attempts > 0
+        )
+        settled = 0
+        attempts: Dict[int, int] = {}
+        corrections: List[int] = []
+        failed: List[int] = []
         forced_stream: List[str] = []
-        rounds = max_rounds if max_rounds is not None else len(groups) + 1
         generated: List[str] = []
-        for round_i in range(rounds):
+        restored = src_tokens
+        decode_i = 0
+        # terminates: every decode either increments one group's attempt
+        # counter (capped) or settles >= 1 group; a settled group can force
+        # at most one extra replay (its control substitution)
+        max_decodes = (
+            max_rounds
+            if max_rounds is not None
+            else len(groups) * (self.max_time_fix_attempts + 2) + 1
+        )
+        while decode_i < max_decodes:
             if forced_stream:
                 forced_ids = np.asarray(
                     [[self.vocab.char2index(t) for t in forced_stream]], np.int32
@@ -950,9 +976,10 @@ class InfillEngine:
                 forced_ids = forced_len = None
             out = decoder(
                 self.params, src_b, span_types, n_spans_b, no_whole,
-                jax.random.fold_in(rng, round_i),
+                jax.random.fold_in(rng, decode_i),
                 forced=forced_ids, forced_len=forced_len,
             )
+            decode_i += 1
             tokens, lengths = jax.device_get((out.tokens, out.lengths))
             generated = [
                 self.vocab.index2char(int(t)) for t in tokens[0][: int(lengths[0])]
@@ -960,11 +987,27 @@ class InfillEngine:
             spans = _split_spans(generated)
             if len(spans) < n_spans:
                 break  # decode exhausted the budget; keep what we have
+            restored = restore_marked_input(src_tokens, generated)
 
-            mismatch = None  # (group_idx, {span_idx: measured_token})
-            for gi in range(settled_groups, len(groups)):
-                body_idx = groups[gi][0]
-                body = spans[body_idx]
+            substituted = False
+            progressed = True
+            while settled < len(groups) and progressed:
+                gi = settled
+                bar_num, track_pos = group_slots[gi]
+                time_ok = not check_close or self._group_closes(
+                    restored, req, bar_num, track_pos
+                )
+                if (
+                    not time_ok
+                    and retry_time
+                    and attempts.get(gi, 0) < self.max_time_fix_attempts
+                ):
+                    attempts[gi] = attempts.get(gi, 0) + 1
+                    progressed = False
+                    break
+                # time settled (closed or retries exhausted) — measure the
+                # body and substitute the group's sampled control copies
+                body = spans[groups[gi][0]]
                 subs: Dict[int, str] = {}
                 d, o, y = recompute_bar_track_control(body, header)
                 measured = {
@@ -975,7 +1018,6 @@ class InfillEngine:
                 for si in groups[gi][1:]:
                     code = span_codes[si]
                     if code == SPAN_CODE["t"]:
-                        bar_num = group_slots[gi][0]
                         want = self._measured_tensile(
                             spans, src_tokens, bar_num, header, key_name
                         )
@@ -983,26 +1025,33 @@ class InfillEngine:
                         want = measured.get(code)
                     if want is not None and spans[si] and spans[si][0] != want:
                         subs[si] = want
+                for si, tok in subs.items():
+                    spans[si] = [tok]
+                corrections.append(attempts.get(gi, 0))
+                failed.append(0 if time_ok else 1)
+                settled = gi + 1
                 if subs:
-                    mismatch = (gi, subs)
-                    break
-            if mismatch is None:
-                settled_groups = len(groups)
+                    # later spans must re-decode conditioned on the
+                    # substituted value
+                    substituted = True
+                    progressed = False
+            if settled >= len(groups) and not substituted:
                 break
-            gi, subs = mismatch
-            for si, tok in subs.items():
-                spans[si] = [tok]
-            last_span = groups[gi][-1]
+            last_span = groups[settled - 1][-1] if settled else -1
             forced_stream = []
             for si in range(last_span + 1):
                 forced_stream.append("m_0")
                 forced_stream.extend(spans[si])
-            settled_groups = gi + 1
+            # if everything settled but the final substitution is not in
+            # `generated` yet, the next iteration is a fully-forced replay
+            # that materialises it, then breaks
 
-        restored = restore_marked_input(src_tokens, generated)
-        closed = True
+        # groups left unsettled by an early break (token budget exhausted)
+        for gi in range(settled, len(groups)):
+            corrections.append(attempts.get(gi, 0))
+            failed.append(1)
+
         if fix_durations and self.vocab.mode == 0:
-            closed = self._spans_close(restored, req)
             restored = self._repair_durations(restored, req.table)
         return InfillResult(
             events=restored,
@@ -1010,7 +1059,10 @@ class InfillEngine:
             mask_tracks=req.mask_tracks,
             mask_bars=req.mask_bars,
             decode_steps=len(generated),
-            time_failed=not closed,
+            time_corrections=sum(corrections),
+            time_failed=any(failed),
+            time_corrections_per_span=corrections,
+            time_failed_per_span=failed,
         )
 
     def _measured_tensile(

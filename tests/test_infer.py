@@ -910,3 +910,30 @@ def test_call_span_retries_flag(vocab, mode2_events, tiny_engine):
     events, _ = mode2_events
     res = tiny_engine(events, [0], [3], jax.random.PRNGKey(9), span_retries=True)
     assert res is not None and res.time_corrections_per_span is not None
+
+
+def test_correct_controls_time_retry_accounting(vocab, mode2_events, tiny_engine):
+    """run_with_correct_controls runs inside the reference's
+    check_total_time regeneration loop (evaluation.py:1300-1397): every
+    masked (bar, track) group gets per-span time stats, retries are capped
+    at max_time_fix_attempts, and the repaired stream closes every bar."""
+    events, _ = mode2_events
+    req = tiny_engine.prepare(events, [0], [1, 2])
+    res = tiny_engine.run_with_correct_controls(req, jax.random.PRNGKey(13))
+    assert res is not None
+    n_groups = len(req.mask_bars)
+    assert len(res.time_corrections_per_span) == n_groups
+    assert len(res.time_failed_per_span) == n_groups
+    assert res.time_corrections == sum(res.time_corrections_per_span)
+    # retries are bounded by the per-group cap
+    assert all(
+        0 <= c <= tiny_engine.max_time_fix_attempts
+        for c in res.time_corrections_per_span
+    )
+    # a group that closed without exhausting retries must not be failed
+    for c, f in zip(res.time_corrections_per_span, res.time_failed_per_span):
+        if f:
+            assert c == tiny_engine.max_time_fix_attempts
+    assert "m_0" not in res.events
+    assert res.events.count("bar") == events.count("bar")
+    assert tiny_engine._spans_close(res.events, req)
