@@ -163,6 +163,7 @@ def _flush_chord_group(
 
 
 _USE_NATIVE_TOKENIZER = True
+_native_tokenize = None
 
 
 def set_native_tokenizer(enabled: bool) -> None:
@@ -182,9 +183,12 @@ def tokenize_bar(
 ) -> Tuple[List[str], Dict[int, Note]]:
     """Per-bar tokenization; dispatches to the native core when built."""
     if _USE_NATIVE_TOKENIZER:
-        from ..native.tokenizer import bar_notes_to_event_native
+        global _native_tokenize
+        if _native_tokenize is None:
+            from ..native.tokenizer import bar_notes_to_event_native
 
-        result = bar_notes_to_event_native(
+            _native_tokenize = bar_notes_to_event_native
+        result = _native_tokenize(
             notes, bar_time, next_bar_time, beat_times, table,
             minimum_difference, grid_division=grid_division,
         )

@@ -43,6 +43,28 @@ PROFILES = {
 _TONIC_NAMES = ["C", "C#", "D", "E-", "E", "F", "F#", "G", "A-", "A", "B-", "B"]
 
 
+def _build_rotations():
+    """Per profile: (24, 12) matrix of all rotated profiles (major tonics
+    0..11 then minor 0..11 — the scan order of the reference loop), centered
+    rows + row norms precomputed so one matmul scores all 24 keys."""
+    out = {}
+    names = [f"{_TONIC_NAMES[t]} major" for t in range(12)] + [
+        f"{_TONIC_NAMES[t]} minor" for t in range(12)
+    ]
+    for prof_name, (major, minor) in PROFILES.items():
+        rows = np.stack(
+            [np.roll(major, t) for t in range(12)]
+            + [np.roll(minor, t) for t in range(12)]
+        )
+        centered = rows - rows.mean(axis=1, keepdims=True)
+        norms = np.linalg.norm(centered, axis=1)
+        out[prof_name] = (centered, norms)
+    return out, names
+
+
+_ROTATIONS, _KEY_ORDER = _build_rotations()
+
+
 def pitch_class_distribution(score: MidiScore) -> np.ndarray:
     """Duration-weighted pitch-class histogram (12,)."""
     dist = np.zeros(12)
@@ -62,17 +84,16 @@ def profile_key(score_or_dist, profile: str = "krumhansl_schmuckler") -> Optiona
         dist = np.asarray(score_or_dist, dtype=float)
     if dist.sum() <= 0:
         return None
-    major, minor = PROFILES[profile]
-    best = (-2.0, None)
-    for mode, prof in (("major", major), ("minor", minor)):
-        for tonic in range(12):
-            rotated = np.roll(prof, tonic)
-            r = np.corrcoef(dist, rotated)[0, 1]
-            if np.isnan(r):
-                continue
-            if r > best[0]:
-                best = (r, f"{_TONIC_NAMES[tonic]} {mode}")
-    return best[1]
+    # Pearson correlation of dist against all 24 rotated profiles in one
+    # matmul (argmax keeps the reference scan order: major 0..11, minor
+    # 0..11, first max wins — same as the strict `>` loop it replaces).
+    d = dist - dist.mean()
+    dn = np.linalg.norm(d)
+    if dn == 0.0:  # constant distribution: every correlation is NaN
+        return None
+    centered, norms = _ROTATIONS[profile]
+    r = (centered @ d) / (norms * dn)
+    return _KEY_ORDER[int(np.argmax(r))]
 
 
 def normalize_key_name(name: str) -> str:

@@ -8,6 +8,7 @@ per-16th-step Python loops of the reference collapse to matmuls.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Dict
 
 import numpy as np
@@ -65,30 +66,49 @@ def pitch_index_to_position(pitch_index) -> np.ndarray:
     return pos
 
 
+# The four position helpers below are pure functions of a small integer
+# domain, called thousands of times per file during the dataset build —
+# memoized; results are frozen (writeable=False) so the shared arrays
+# cannot be mutated by a caller.
+
+
+def _frozen(arr: np.ndarray) -> np.ndarray:
+    arr.flags.writeable = False
+    return arr
+
+
+@lru_cache(maxsize=None)
 def major_triad_position(root_index: int) -> np.ndarray:
+    root_index = int(root_index)
     root = pitch_index_to_position(root_index)
     fifth = pitch_index_to_position(root_index + 1)
     third = pitch_index_to_position(root_index + 4)
-    return WEIGHT[0] * root + WEIGHT[1] * fifth + WEIGHT[2] * third
+    return _frozen(WEIGHT[0] * root + WEIGHT[1] * fifth + WEIGHT[2] * third)
 
 
+@lru_cache(maxsize=None)
 def minor_triad_position(root_index: int) -> np.ndarray:
+    root_index = int(root_index)
     root = pitch_index_to_position(root_index)
     fifth = pitch_index_to_position(root_index + 1)
     third = pitch_index_to_position(root_index - 3)
-    return WEIGHT[0] * root + WEIGHT[1] * fifth + WEIGHT[2] * third
+    return _frozen(WEIGHT[0] * root + WEIGHT[1] * fifth + WEIGHT[2] * third)
 
 
+@lru_cache(maxsize=None)
 def major_key_position(key_index: int) -> np.ndarray:
-    return (
+    key_index = int(key_index)
+    return _frozen(
         WEIGHT[0] * major_triad_position(key_index)
         + WEIGHT[1] * major_triad_position(key_index + 1)
         + WEIGHT[2] * major_triad_position(key_index - 1)
     )
 
 
+@lru_cache(maxsize=None)
 def minor_key_position(key_index: int) -> np.ndarray:
-    return (
+    key_index = int(key_index)
+    return _frozen(
         WEIGHT[0] * minor_triad_position(key_index)
         + WEIGHT[1]
         * (ALPHA * major_triad_position(key_index + 1) + (1 - ALPHA) * minor_triad_position(key_index + 1))

@@ -9,6 +9,7 @@ by returning the drumless score in-memory.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -107,6 +108,7 @@ def extract_notes(score: MidiScore, track_num: int) -> Optional[NoteGrid]:
 # ---------------------------------------------------------------------------
 
 
+@lru_cache(maxsize=None)
 def _key_geometry(name: str):
     """(canonical key name, reference position, centroid shift) for one key.
 
