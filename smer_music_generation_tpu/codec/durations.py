@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import itertools
 from dataclasses import dataclass
+from functools import lru_cache
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -51,11 +52,14 @@ class DurationTable:
         return self.sixteenth / 2
 
 
+@lru_cache(maxsize=256)
 def get_duration_table(beat_duration: float, time_signature: Tuple[int, int]) -> DurationTable:
     """Build the table (reference ``get_note_duration_dict``).
 
     ``beat_duration`` is the *beat* length: the quarter note for ``x/4``
-    signatures, the dotted quarter for 6/8.
+    signatures, the dotted quarter for 6/8.  Memoized — the build calls
+    this per bar with a handful of distinct (tempo, signature) pairs, and
+    the table is immutable.
     """
     num, den = time_signature
     name_to_time: Dict[str, float] = {}

@@ -53,6 +53,9 @@ CORPUS_VELOCITIES = (V0, V1, V2)
 _TRACK_RE = re.compile(r"track_\d")
 _PROGRAM_RE = re.compile(r"i_\d")
 _PITCH_RE = re.compile(r"p_(\d+)")
+# exact token -> pitch map (all pitches the vocab can emit); avoids a
+# regex fullmatch per body token in the events_to_midi hot loop
+_PITCH_LOOKUP = {f"p_{i}": i for i in range(128)}
 
 
 # ---------------------------------------------------------------------------
@@ -594,8 +597,10 @@ def events_to_midi(
     score = MidiScore(initial_tempo=tempo)
     score.time_signature_changes = [TimeSignature(numerator, denominator, 0.0)]
 
-    programs = [e for e in events if _PROGRAM_RE.match(e)]
-    track_names = sorted(set(filter(_TRACK_RE.match, events)))
+    programs = [e for e in events if e[:2] == "i_" and e[2:].isdigit()]
+    track_names = sorted(
+        {e for e in events if e[:6] == "track_" and e[6:].isdigit()}
+    )
     track_name_to_index = {name: i for i, name in enumerate(track_names)}
 
     bar_positions = np.where(np.array(events) == "bar")[0]
@@ -661,9 +666,9 @@ def events_to_midi(
             is_sep = False
             is_continue = False
 
-        m = _PITCH_RE.fullmatch(event)
-        if m:
-            pitch_list.append(int(m.group(1)))
+        pitch = _PITCH_LOOKUP.get(event)
+        if pitch is not None:
+            pitch_list.append(pitch)
             continue
         if event == "sep":
             is_sep = True
@@ -676,7 +681,7 @@ def events_to_midi(
             bar_start_time = bar_num * bar_duration
             bar_num += 1
             continue
-        if _TRACK_RE.fullmatch(event):
+        if event in track_name_to_index:
             curr_time = bar_start_time
             previous_duration = 0.0
             track = track_name_to_index[event]
