@@ -41,6 +41,9 @@ def main():
                     help="sweep the real packed-loader regime instead of the "
                          "synthetic long-sequence grid")
     ap.add_argument("--out", default="/tmp/train_sweep.json")
+    ap.add_argument("--only", default=None,
+                    help="comma list of B:S:T triples to run, e.g. "
+                         "'8:640:384,32:2048:512' (chunk long sweeps)")
     args = ap.parse_args()
 
     import jax
@@ -95,6 +98,11 @@ def main():
             (32, 1024, 512),
             (64, 1024, 512),
             (128, 512, 512),
+        ]
+    if args.only:
+        configs = [
+            tuple(int(x) for x in spec.split(":"))
+            for spec in args.only.split(",")
         ]
     results = []
     for B, S, T in configs:
