@@ -40,6 +40,13 @@ _DUR_STEPS = {"whole": 16, "half": 8, "quarter": 4, "eighth": 2, "sixteenth": 1}
 
 MAX_REMI_DURATION = 32
 
+# exact token lookups for the hot decode/convert loops (every token the
+# vocab can emit; the regexes above remain the fallback for odd streams)
+_PITCH_LOOKUP = {f"p_{i}": i for i in range(128)}
+_STEP_LOOKUP = {f"e_{i}": i for i in range(16)}
+_DUR_LOOKUP = {f"n_{i}": i for i in range(1, 64)}
+_TRACK_SET = frozenset(f"track_{i}" for i in range(10))
+
 
 class _Group:
     __slots__ = ("step", "pitches", "dur")
@@ -79,7 +86,7 @@ def _parse_body(tokens: Sequence[str]) -> Tuple[List[_Group], List[_Group]]:
             is_cont = True
             i += 1
         pitches: List[str] = []
-        while i < n and _PITCH_RE.match(tokens[i]):
+        while i < n and (tokens[i] in _PITCH_LOOKUP or _PITCH_RE.match(tokens[i])):
             pitches.append(tokens[i])
             i += 1
         dur = 0
@@ -179,14 +186,14 @@ def smer_to_remi(events: Sequence[str]) -> List[str]:
             bar_idx += 1
             cur_track = None
             segments.append(("tok", tok))
-        elif _TRACK_RE.match(tok):
+        elif tok in _TRACK_SET:
             close_body()
             cur_track = tok
             body_key_candidate = (bar_idx, tok)
             body_key = body_key_candidate
             segments.append(("tok", tok))
         elif cur_track is not None and (
-            tok in body_token_set or _PITCH_RE.match(tok)
+            tok in body_token_set or tok in _PITCH_LOOKUP or _PITCH_RE.match(tok)
         ):
             body_tokens.append(tok)
         else:
@@ -237,8 +244,8 @@ def remi_to_midi(events: Sequence[str], tempo: Optional[float] = None) -> Option
 
     score = MidiScore(initial_tempo=tempo)
     score.time_signature_changes = [TimeSignature(numerator, denominator, 0.0)]
-    programs = [e for e in events if re.match(r"i_\d", e)]
-    track_names = sorted({e for e in events if _TRACK_RE.match(e)})
+    programs = [e for e in events if e[:2] == "i_" and e[2:].isdigit()]
+    track_names = sorted({e for e in events if e in _TRACK_SET})
     track_index = {name: i for i, name in enumerate(track_names)}
     for prog in programs:
         score.instruments.append(Instrument(program=int(prog.split("_")[-1])))
@@ -260,23 +267,32 @@ def remi_to_midi(events: Sequence[str], tempo: Optional[float] = None) -> Option
             curr_time = bar_num * bar_duration
             bar_start = curr_time
             bar_num += 1
-        elif _TRACK_RE.match(tok):
+        elif tok in track_index:
             curr_time = bar_start
             track_label = tok
             track = track_index[tok]
             pitch_list = []
         else:
-            m = _STEP_RE.match(tok)
-            if m:
-                curr_time = bar_start + int(m.group(1)) * sixteenth
+            step = _STEP_LOOKUP.get(tok)
+            if step is None:
+                m = _STEP_RE.match(tok)
+                step = int(m.group(1)) if m else None
+            if step is not None:
+                curr_time = bar_start + step * sixteenth
                 continue
-            m = _PITCH_RE.match(tok)
-            if m:
-                pitch_list.append(int(m.group(1)))
+            pitch = _PITCH_LOOKUP.get(tok)
+            if pitch is None:
+                m = _PITCH_RE.match(tok)
+                pitch = int(m.group(1)) if m else None
+            if pitch is not None:
+                pitch_list.append(pitch)
                 continue
-            m = _DUR_RE.match(tok)
-            if m:
-                end = curr_time + int(m.group(1)) * sixteenth
+            dur = _DUR_LOOKUP.get(tok)
+            if dur is None:
+                m = _DUR_RE.match(tok)
+                dur = int(m.group(1)) if m else None
+            if dur is not None:
+                end = curr_time + dur * sixteenth
                 vel = {"track_0": V0, "track_1": V1}.get(track_label, V2)
                 for pitch in pitch_list:
                     score.instruments[track].notes.append(
