@@ -174,6 +174,36 @@ def test_profile_keys():
     assert profile_key(g) == "G major"
 
 
+def test_profile_key_matches_reference_loop():
+    """The one-matmul correlation must agree with the literal reference
+    scan (24 np.corrcoef calls, first strict max wins) on random
+    distributions, including degenerate ones."""
+    from smer_music_generation_tpu.features.keyvote import PROFILES, _TONIC_NAMES
+
+    def reference_loop(dist, profile):
+        if dist.sum() <= 0:
+            return None
+        major, minor = PROFILES[profile]
+        best = (-2.0, None)
+        for mode, prof in (("major", major), ("minor", minor)):
+            for tonic in range(12):
+                r = np.corrcoef(dist, np.roll(prof, tonic))[0, 1]
+                if np.isnan(r):
+                    continue
+                if r > best[0]:
+                    best = (r, f"{_TONIC_NAMES[tonic]} {mode}")
+        return best[1]
+
+    rng = np.random.default_rng(3)
+    for _ in range(50):
+        dist = rng.gamma(0.7, size=12) * rng.integers(0, 2, size=12)
+        for prof in PROFILES:
+            assert profile_key(dist, prof) == reference_loop(dist, prof)
+    # degenerate: all-zero and constant distributions
+    assert profile_key(np.zeros(12)) is None
+    assert profile_key(np.ones(12)) == reference_loop(np.ones(12), "krumhansl_schmuckler")
+
+
 def test_normalize_enharmonics():
     assert normalize_key_name("C# major") == "D- major"
     assert normalize_key_name("D- minor") == "C# minor"
