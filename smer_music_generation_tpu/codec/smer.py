@@ -461,6 +461,18 @@ def midi_to_events(
 
     continue_dicts: List[Dict[int, Note]] = [{} for _ in range(track_num)]
 
+    # notes are sorted by start, so each bar's notes are a contiguous
+    # slice — binary-search the window instead of rescanning every note
+    # of the track per bar (O(bars x notes) -> O(bars log notes))
+    track_starts = [
+        np.fromiter(
+            (n.start for n in score.instruments[t].notes),
+            np.float64,
+            len(score.instruments[t].notes),
+        )
+        for t in range(track_num)
+    ]
+
     for bar, bar_time in enumerate(down_beats[:-1]):
         events.append("bar")
         beat_position = dbi[bar]
@@ -472,13 +484,13 @@ def midi_to_events(
         for track in range(track_num):
             events.append(labels[track])
             continue_note_dict = continue_dicts[track]
+            starts = track_starts[track]
+            lo = int(np.searchsorted(starts, bar_time - md, "left"))
+            hi = int(np.searchsorted(starts, next_bar_time - md, "left"))
             bar_notes = [
                 Note(n.velocity, n.pitch, n.start, n.end)
-                for n in score.instruments[track].notes
-                if bar_time - md <= n.start < next_bar_time - md
-            ]
-            bar_notes = [
-                n for n in bar_notes if TRACK_0_RANGE[0] <= n.pitch <= TRACK_0_RANGE[1]
+                for n in score.instruments[track].notes[lo:hi]
+                if TRACK_0_RANGE[0] <= n.pitch <= TRACK_0_RANGE[1]
             ]
             beat_in_this_bar = beats[dbi[bar] : dbi[bar + 1] + 1]
             if continue_note_dict:
