@@ -167,6 +167,7 @@ def _flush_chord_group(
 
 _USE_NATIVE_TOKENIZER = True
 _native_tokenize = None
+_native_track_tokenize = None
 
 
 def set_native_tokenizer(enabled: bool) -> None:
@@ -415,6 +416,39 @@ ROLE_TO_TRACK = {
 }
 
 
+def _tokenize_tracks_native(
+    score: MidiScore,
+    track_num: int,
+    down_beats,
+    beats,
+    dbi,
+    bar_tables,
+    grid_division: int,
+):
+    """All tracks through the one-call-per-track native core; None -> caller
+    falls back to the per-bar loop."""
+    global _native_track_tokenize
+    if _native_track_tokenize is None:
+        from ..native.tokenizer import track_notes_to_events_native
+
+        _native_track_tokenize = track_notes_to_events_native
+    out = []
+    for t in range(track_num):
+        notes = [
+            n
+            for n in score.instruments[t].notes
+            if TRACK_0_RANGE[0] <= n.pitch <= TRACK_0_RANGE[1]
+        ]
+        res = _native_track_tokenize(
+            notes, down_beats, beats, dbi, bar_tables,
+            grid_division=grid_division,
+        )
+        if res is None:
+            return None
+        out.append(res)
+    return out
+
+
 def midi_to_events(
     score: MidiScore, roles: Optional[Sequence[str]] = None, max_track: int = 3
 ) -> Optional[Tuple[List[str], MidiScore]]:
@@ -458,6 +492,27 @@ def midi_to_events(
     events: List[str] = [f"{numerator}/{denominator}", f"{tempo}"]
     for inst in score.instruments[:track_num]:
         events.append(f"i_{inst.program}")
+
+    # per-bar duration tables (memoized: usually one distinct table)
+    n_bars = len(down_beats) - 1
+    bar_tables = [
+        get_duration_table(
+            beats[dbi[bar] + 1] - beats[dbi[bar]], (numerator, denominator)
+        )
+        for bar in range(n_bars)
+    ]
+
+    if _USE_NATIVE_TOKENIZER:
+        per_track = _tokenize_tracks_native(
+            score, track_num, down_beats, beats, dbi, bar_tables, grid_division
+        )
+        if per_track is not None:
+            for bar in range(n_bars):
+                events.append("bar")
+                for track in range(track_num):
+                    events.append(labels[track])
+                    events.extend(per_track[track][bar])
+            return events, score
 
     continue_dicts: List[Dict[int, Note]] = [{} for _ in range(track_num)]
 

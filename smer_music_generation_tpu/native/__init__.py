@@ -61,16 +61,33 @@ def load_library() -> Optional[ctypes.CDLL]:
             return None
         c = ctypes
         lib.smer_tokenize_bar.restype = c.c_int
+        # pointer params are declared void* so callers can pass raw
+        # ndarray.ctypes.data addresses (no per-call ctypes.cast)
         lib.smer_tokenize_bar.argtypes = [
-            c.POINTER(c.c_double), c.POINTER(c.c_double),
-            c.POINTER(c.c_int32), c.POINTER(c.c_int32), c.c_int,
+            c.c_void_p, c.c_void_p,
+            c.c_void_p, c.c_void_p, c.c_int,
             c.c_double, c.c_double,
-            c.POINTER(c.c_double), c.c_int,
+            c.c_void_p, c.c_int,
             c.c_double, c.c_int, c.c_int,
-            c.POINTER(c.c_double), c.c_int, c.c_int,
-            c.POINTER(c.c_int32), c.c_int,
-            c.POINTER(c.c_int32), c.POINTER(c.c_double), c.c_int,
-            c.POINTER(c.c_int32),
+            c.c_void_p, c.c_int, c.c_int,
+            c.c_void_p, c.c_int,
+            c.c_void_p, c.c_void_p, c.c_int,
+            c.c_void_p,
+        ]
+        # absent in pre-existing binaries (the mtime check rebuilds, but a
+        # read-only tree may pin an old .so): gate on symbol presence
+        if not hasattr(lib, "smer_tokenize_track"):
+            _lib = lib
+            return _lib
+        lib.smer_tokenize_track.restype = c.c_int
+        lib.smer_tokenize_track.argtypes = [
+            c.c_void_p, c.c_void_p, c.c_void_p, c.c_int,   # starts ends pitches n
+            c.c_void_p, c.c_int,                            # down_beats n_bars
+            c.c_void_p, c.c_void_p,                         # beats dbi
+            c.c_int, c.c_int,                               # grid_division do_grid
+            c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, # table times/n/zero/mindiff
+            c.c_int, c.c_void_p,                            # stride bar_table
+            c.c_void_p, c.c_int, c.c_void_p,                # out max_out offsets
         ]
         _lib = lib
         return _lib

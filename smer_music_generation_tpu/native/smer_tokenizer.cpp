@@ -145,32 +145,15 @@ void flush_chord_group(std::vector<Note>& chord, double next_bar_time,
   emit_duration(em, group_dur, times, n_times, zero_index);
 }
 
-}  // namespace
-
-extern "C" {
-
-// Tokenize one bar of one track.  Returns the number of emitted token
-// codes, or -1 on output overflow.  `n_continue_out` receives the number
-// of tie-notes carried into the next bar.
-int smer_tokenize_bar(
-    const double* starts, const double* ends, const int32_t* pitches,
-    const int32_t* velocities, int n_notes,
+// Tokenize one bar's note list (carry/continue notes included, marked by
+// velocity == -1) into `em`; tie-notes for the next bar go to `cont`.
+void tokenize_bar_core(
+    std::vector<Note>& notes,
     double bar_time, double next_bar_time,
     const double* beat_times, int n_beats,
     double minimum_difference, int grid_division, int do_grid,
     const double* dur_times, int n_durs, int zero_index,
-    int32_t* out_tokens, int max_out,
-    int32_t* cont_pitches, double* cont_ends, int max_cont,
-    int32_t* n_continue_out) {
-  Emitter em{out_tokens, max_out};
-  ContinueOut cont{cont_pitches, cont_ends, max_cont};
-
-  std::vector<Note> notes;
-  notes.reserve(n_notes);
-  for (int i = 0; i < n_notes; ++i) {
-    notes.push_back({starts[i], ends[i], pitches[i], velocities[i]});
-  }
-
+    Emitter& em, ContinueOut& cont) {
   if (!notes.empty() && do_grid) {
     // build the divided grid (grid_notes, encode.py:900-936)
     std::vector<double> grid;
@@ -282,8 +265,103 @@ int smer_tokenize_bar(
       }
     }
   }
+}
 
+}  // namespace
+
+extern "C" {
+
+// Tokenize one bar of one track.  Returns the number of emitted token
+// codes, or -1 on output overflow.  `n_continue_out` receives the number
+// of tie-notes carried into the next bar.
+int smer_tokenize_bar(
+    const double* starts, const double* ends, const int32_t* pitches,
+    const int32_t* velocities, int n_notes,
+    double bar_time, double next_bar_time,
+    const double* beat_times, int n_beats,
+    double minimum_difference, int grid_division, int do_grid,
+    const double* dur_times, int n_durs, int zero_index,
+    int32_t* out_tokens, int max_out,
+    int32_t* cont_pitches, double* cont_ends, int max_cont,
+    int32_t* n_continue_out) {
+  Emitter em{out_tokens, max_out};
+  ContinueOut cont{cont_pitches, cont_ends, max_cont};
+
+  std::vector<Note> notes;
+  notes.reserve(n_notes);
+  for (int i = 0; i < n_notes; ++i) {
+    notes.push_back({starts[i], ends[i], pitches[i], velocities[i]});
+  }
+  tokenize_bar_core(notes, bar_time, next_bar_time, beat_times, n_beats,
+                    minimum_difference, grid_division, do_grid, dur_times,
+                    n_durs, zero_index, em, cont);
   *n_continue_out = cont.n;
+  return em.overflow ? -1 : em.n;
+}
+
+// Tokenize ALL bars of one track in one call (the corpus tokenizer's hot
+// loop; amortizes the Python->C boundary over the whole track).
+//
+// Inputs:
+//   starts/ends/pitches: the track's notes, START-SORTED and pitch-filtered
+//   down_beats: n_bars+1 bar boundary times
+//   beats/dbi: the beat grid and per-bar downbeat indices (dbi has
+//     n_bars+1 entries; bar k's beat window is beats[dbi[k]..dbi[k+1]])
+//   table_*: duration tables, one row of `table_stride` times per table,
+//     with per-table length/zero-index/minimum-difference; bar_table maps
+//     each bar to its table row
+// Outputs:
+//   out_tokens: concatenated per-bar token codes
+//   bar_offsets: n_bars+1 offsets into out_tokens (bar k's tokens are
+//     out_tokens[bar_offsets[k]..bar_offsets[k+1]])
+// Returns total token count or -1 on overflow (caller falls back).
+int smer_tokenize_track(
+    const double* starts, const double* ends, const int32_t* pitches,
+    int n_notes,
+    const double* down_beats, int n_bars,
+    const double* beats, const int32_t* dbi,
+    int grid_division, int do_grid,
+    const double* table_times, const int32_t* table_n,
+    const int32_t* table_zero, const double* table_mindiff,
+    int table_stride, const int32_t* bar_table,
+    int32_t* out_tokens, int max_out, int32_t* bar_offsets) {
+  Emitter em{out_tokens, max_out};
+  constexpr int kMaxCarry = 512;
+  int32_t carry_pitch[kMaxCarry];
+  double carry_end[kMaxCarry];
+  int carry_n = 0;
+
+  for (int bar = 0; bar < n_bars; ++bar) {
+    bar_offsets[bar] = em.n;
+    const double bar_time = down_beats[bar];
+    const double next_bar_time = down_beats[bar + 1];
+    const int t = bar_table[bar];
+    const double* times = table_times + static_cast<size_t>(t) * table_stride;
+    const int n_durs = table_n[t];
+    const int zero_index = table_zero[t];
+    const double md = table_mindiff[t];
+
+    std::vector<Note> notes;
+    for (int i = 0; i < carry_n; ++i) {
+      // ties carried from the previous bar start at this bar line
+      notes.push_back({bar_time, carry_end[i], carry_pitch[i], -1});
+    }
+    // the bar's window is a contiguous start-sorted slice
+    const double* lo = std::lower_bound(starts, starts + n_notes, bar_time - md);
+    const double* hi =
+        std::lower_bound(starts, starts + n_notes, next_bar_time - md);
+    for (const double* p = lo; p != hi; ++p) {
+      const int i = static_cast<int>(p - starts);
+      notes.push_back({starts[i], ends[i], pitches[i], 0});
+    }
+
+    ContinueOut cont{carry_pitch, carry_end, kMaxCarry};
+    tokenize_bar_core(notes, bar_time, next_bar_time, beats + dbi[bar],
+                      dbi[bar + 1] - dbi[bar] + 1, md, grid_division, do_grid,
+                      times, n_durs, zero_index, em, cont);
+    carry_n = cont.n;
+  }
+  bar_offsets[n_bars] = em.n;
   return em.overflow ? -1 : em.n;
 }
 

@@ -28,9 +28,6 @@ from . import load_library
 MAX_TOKENS = 4096
 MAX_CONT = 256
 
-_PD = ctypes.POINTER(ctypes.c_double)
-_PI = ctypes.POINTER(ctypes.c_int32)
-
 _scratch = threading.local()
 
 
@@ -45,16 +42,16 @@ def _get_scratch():
         cont_pitches = np.zeros(MAX_CONT, dtype=np.int32)
         cont_ends = np.zeros(MAX_CONT, dtype=np.float64)
         s = (
-            out, out.ctypes.data_as(_PI),
-            cont_pitches, cont_pitches.ctypes.data_as(_PI),
-            cont_ends, cont_ends.ctypes.data_as(_PD),
+            out, out.ctypes.data,
+            cont_pitches, cont_pitches.ctypes.data,
+            cont_ends, cont_ends.ctypes.data,
         )
         _scratch.bufs = s
     return s
 
 
 def _table_cache(table: DurationTable):
-    """(times ptr, n_times, zero index, pre-split names) for one table.
+    """(times address, n_times, zero index, pre-split names) for one table.
 
     DurationTable is a frozen dataclass; the cache is attached through
     ``object.__setattr__`` so repeated bars of the same table skip the
@@ -64,14 +61,114 @@ def _table_cache(table: DurationTable):
     if cached is None:
         dur_times = np.ascontiguousarray(table.times, dtype=np.float64)
         cached = (
-            dur_times,  # keep the buffer alive alongside its pointer
-            dur_times.ctypes.data_as(_PD),
+            dur_times,  # keep the buffer alive alongside its address
+            dur_times.ctypes.data,
             len(dur_times),
             table.names_by_time.index("zero"),
             tuple(name.split("_") for name in table.names_by_time),
         )
         object.__setattr__(table, "_native_tok", cached)
     return cached
+
+
+def _expand_codes(codes, names_split) -> List[str]:
+    tokens: List[str] = []
+    for code in codes:
+        if code == -1:
+            tokens.append("rest")
+        elif code == -2:
+            tokens.append("sep")
+        elif code == -3:
+            tokens.append("continue")
+        elif code >= 2000:
+            tokens.extend(names_split[code - 2000])
+        else:
+            tokens.append(f"p_{code - 1000}")
+    return tokens
+
+
+def track_notes_to_events_native(
+    notes: List[Note],
+    down_beats,
+    beats,
+    dbi: Sequence[int],
+    tables: List[DurationTable],
+    grid_division: int = 4,
+    is_grid: bool = True,
+) -> Optional[List[List[str]]]:
+    """Tokenize every bar of one track in ONE native call.
+
+    ``notes`` must be start-sorted and pitch-filtered; ``tables`` holds the
+    per-bar duration table (usually one distinct table).  Tie/continue
+    carry between bars happens inside the C++ core.  Returns the per-bar
+    token lists, or None when the library (or the track symbol) is
+    unavailable or the output overflows — callers fall back to the
+    per-bar path.
+    """
+    lib = load_library()
+    if lib is None or not hasattr(lib, "smer_tokenize_track"):
+        return None
+    n_bars = len(tables)
+    if n_bars == 0:
+        return []
+
+    n = len(notes)
+    starts = np.fromiter((x.start for x in notes), np.float64, n)
+    ends = np.fromiter((x.end for x in notes), np.float64, n)
+    pitches = np.fromiter((x.pitch for x in notes), np.int32, n)
+    down_beats = np.ascontiguousarray(down_beats, dtype=np.float64)
+    beats = np.ascontiguousarray(beats, dtype=np.float64)
+    dbi_arr = np.ascontiguousarray(dbi, dtype=np.int32)
+
+    # dedup tables (by identity: get_duration_table is memoized) into a
+    # padded (n_tables, stride) times matrix + per-table metadata
+    table_ids: Dict[int, int] = {}
+    uniq: List[DurationTable] = []
+    bar_table = np.empty(n_bars, np.int32)
+    for b, t in enumerate(tables):
+        idx = table_ids.get(id(t))
+        if idx is None:
+            idx = len(uniq)
+            table_ids[id(t)] = idx
+            uniq.append(t)
+        bar_table[b] = idx
+    stride = max(len(t.times) for t in uniq)
+    times_mat = np.zeros((len(uniq), stride), np.float64)
+    table_n = np.empty(len(uniq), np.int32)
+    table_zero = np.empty(len(uniq), np.int32)
+    table_md = np.empty(len(uniq), np.float64)
+    names_by_table = []
+    for k, t in enumerate(uniq):
+        dur_times, _, n_dur, zero_index, names_split = _table_cache(t)
+        times_mat[k, :n_dur] = dur_times
+        table_n[k] = n_dur
+        table_zero[k] = zero_index
+        table_md[k] = t.minimum_difference
+        names_by_table.append(names_split)
+
+    max_out = 4096 + 8 * n + 16 * n_bars
+    out = np.zeros(max_out, np.int32)
+    offsets = np.zeros(n_bars + 1, np.int32)
+
+    n_out = lib.smer_tokenize_track(
+        starts.ctypes.data, ends.ctypes.data, pitches.ctypes.data, n,
+        down_beats.ctypes.data, n_bars,
+        beats.ctypes.data, dbi_arr.ctypes.data,
+        grid_division, int(is_grid),
+        times_mat.ctypes.data, table_n.ctypes.data,
+        table_zero.ctypes.data, table_md.ctypes.data,
+        stride, bar_table.ctypes.data,
+        out.ctypes.data, max_out, offsets.ctypes.data,
+    )
+    if n_out < 0:
+        return None
+
+    codes = out[:n_out].tolist()
+    offs = offsets.tolist()
+    return [
+        _expand_codes(codes[offs[b] : offs[b + 1]], names_by_table[bar_table[b]])
+        for b in range(n_bars)
+    ]
 
 
 def bar_notes_to_event_native(
@@ -95,20 +192,20 @@ def bar_notes_to_event_native(
     pitches = np.fromiter((x.pitch for x in notes), np.int32, n)
     velocities = np.fromiter((x.velocity for x in notes), np.int32, n)
     beats = np.ascontiguousarray(beat_times, dtype=np.float64)
-    _, dur_ptr, n_dur, zero_index, names_split = _table_cache(table)
-    out, out_ptr, cont_pitches, cont_p_ptr, cont_ends, cont_e_ptr = _get_scratch()
+    _, dur_addr, n_dur, zero_index, names_split = _table_cache(table)
+    out, out_addr, cont_pitches, cont_p_addr, cont_ends, cont_e_addr = _get_scratch()
     n_cont = ctypes.c_int32(0)
 
     n_out = lib.smer_tokenize_bar(
-        starts.ctypes.data_as(_PD), ends.ctypes.data_as(_PD),
-        pitches.ctypes.data_as(_PI), velocities.ctypes.data_as(_PI), n,
-        ctypes.c_double(bar_time), ctypes.c_double(next_bar_time),
-        beats.ctypes.data_as(_PD), len(beats),
-        ctypes.c_double(minimum_difference), grid_division, int(is_grid),
-        dur_ptr, n_dur, zero_index,
-        out_ptr, MAX_TOKENS,
-        cont_p_ptr, cont_e_ptr,
-        MAX_CONT, ctypes.byref(n_cont),
+        starts.ctypes.data, ends.ctypes.data,
+        pitches.ctypes.data, velocities.ctypes.data, n,
+        bar_time, next_bar_time,
+        beats.ctypes.data, len(beats),
+        minimum_difference, grid_division, int(is_grid),
+        dur_addr, n_dur, zero_index,
+        out_addr, MAX_TOKENS,
+        cont_p_addr, cont_e_addr,
+        MAX_CONT, ctypes.addressof(n_cont),
     )
     if n_out < 0:
         return None
