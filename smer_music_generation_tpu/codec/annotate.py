@@ -105,8 +105,7 @@ def add_control_events(
     if "_" not in events[1]:
         events[1] = tempo_to_token(float(events[1]))
 
-    events_arr = np.array(events)
-    bar_pos = np.where(events_arr == "bar")[0]
+    bar_pos = [i for i, e in enumerate(events) if e == "bar"]
     bar_beats = int(str(header_events[0])[0])
     if bar_beats != 6:
         bar_sixteenths = bar_beats * 4
@@ -160,7 +159,7 @@ def add_control_events(
         events.insert(3, token)
 
     if tensiles is not None:
-        tension_positions = np.where(np.array(events) == track_names[0])[0]
+        tension_positions = [i for i, e in enumerate(events) if e == track_names[0]]
         assert len(tension_positions) == len(bar_pos)
         total_insert = 0
         for i, pos in enumerate(tension_positions):
@@ -187,7 +186,7 @@ def add_control_events(
     for track_idx, name in enumerate(track_names):
         bar_occ_cat = to_category(bar_occupation[track_idx], CONTROL_BINS)
         bar_poly_cat = to_category(bar_polyphony[track_idx], CONTROL_BINS)
-        bar_track_pos = np.where(np.array(events) == name)[0] + 1
+        bar_track_pos = [i + 1 for i, e in enumerate(events) if e == name]
         total_insert = 0
         for i, pos in enumerate(bar_track_pos):
             if i > len(bar_densities[name]):

@@ -575,9 +575,8 @@ def filter_empty_bars(events: Sequence[str]) -> List[str]:
     ``preprocessing.py:721-744``; that version also drops the first filled
     bar's ``bar`` token — here the filled bar is kept intact)."""
     events = list(events)
-    arr = np.array(events)
-    bar_poses = np.where(arr == "bar")[0]
-    if len(bar_poses) == 0:
+    bar_poses = [i for i, e in enumerate(events) if e == "bar"]
+    if not bar_poses:
         return events
     first_filled = None
     for bi, lo in enumerate(bar_poses):
@@ -670,10 +669,10 @@ def events_to_midi(
     )
     track_name_to_index = {name: i for i, name in enumerate(track_names)}
 
-    bar_positions = np.where(np.array(events) == "bar")[0]
-    if len(bar_positions) == 0 or not programs:
+    bar_positions = [i for i, e in enumerate(events) if e == "bar"]
+    if not bar_positions or not programs:
         return None
-    bar_start_pos = int(bar_positions[0])
+    bar_start_pos = bar_positions[0]
 
     for index, prog in enumerate(programs):
         inst = Instrument(program=int(prog.split("_")[-1]))

@@ -32,16 +32,23 @@ __all__ = [
 ]
 
 
+def _is_track_token(e: str) -> bool:
+    # same predicate as TRACK_RE.match (unanchored prefix match)
+    return e.startswith("track_") and len(e) > 6 and e[6].isdigit()
+
+
 def track_names_of(events: Sequence[str]) -> List[str]:
-    return sorted(set(filter(TRACK_RE.match, events)))
+    return sorted({e for e in events if _is_track_token(e)})
 
 
 def programs_of(events: Sequence[str]) -> List[str]:
-    return [e for e in events if PROGRAM_RE.match(e)]
+    return [e for e in events if e.startswith("i_") and len(e) > 2 and e[2].isdigit()]
 
 
 def bar_positions(events: Sequence[str]) -> np.ndarray:
-    return np.where(np.array(events) == "bar")[0]
+    return np.fromiter(
+        (i for i, e in enumerate(events) if e == "bar"), np.int64
+    )
 
 
 def bar_with_track_positions(
@@ -52,18 +59,21 @@ def bar_with_track_positions(
     ``start`` is the index just after the ``track_i`` token; ``end`` is the
     index of the next ``track_j`` / ``bar`` token (or end of stream).
     Matches the reference's ``bar_with_track_poses`` construction
-    (``dataset.py:376-400``).
+    (``dataset.py:376-400``); one pass, no string-object array.
     """
-    arr = np.array(events)
-    track_names = track_names_of(events)
+    seen = set()
+    bar_list: List[int] = []
+    all_pos: List[int] = []
+    for i, e in enumerate(events):
+        if e == "bar":
+            bar_list.append(i)
+            all_pos.append(i)
+        elif _is_track_token(e):
+            seen.add(e)
+            all_pos.append(i)
+    track_names = sorted(seen)
     track_nums = len(track_names)
-    bar_poses = np.where(arr == "bar")[0]
-
-    track_poses: List[int] = []
-    for name in track_names:
-        track_poses.extend(np.where(arr == name)[0])
-    track_poses.extend(bar_poses)
-    all_pos = sorted(track_poses)
+    bar_poses = np.asarray(bar_list, dtype=np.int64)
     all_pos.append(len(events))
 
     bars: List[List[Tuple[int, int]]] = []
