@@ -28,7 +28,7 @@ from typing import List, Optional, Sequence, Tuple
 from ..vocab import CONTROL_TOKENS, V0, V1, V2, DURATION_MULTI
 from .durations import duration_table_for_signature
 from .midi import Instrument, Lyric, MidiScore, Note, TimeSignature
-from .smer import decode_tempo_token
+from .smer import _PITCH_LOOKUP, decode_tempo_token
 
 _TRACK_RE = re.compile(r"track_\d$")
 _PITCH_RE = re.compile(r"p_(\d+)$")
@@ -41,8 +41,8 @@ _DUR_STEPS = {"whole": 16, "half": 8, "quarter": 4, "eighth": 2, "sixteenth": 1}
 MAX_REMI_DURATION = 32
 
 # exact token lookups for the hot decode/convert loops (every token the
-# vocab can emit; the regexes above remain the fallback for odd streams)
-_PITCH_LOOKUP = {f"p_{i}": i for i in range(128)}
+# vocab can emit, sharing smer's pitch table; the regexes above remain
+# the fallback for odd streams)
 _STEP_LOOKUP = {f"e_{i}": i for i in range(16)}
 _DUR_LOOKUP = {f"n_{i}": i for i in range(1, 64)}
 _TRACK_SET = frozenset(f"track_{i}" for i in range(10))

@@ -797,9 +797,11 @@ class InfillEngine:
                 self.vocab.index2char(int(t)) for t in tokens[0][: int(lengths[0])]
             ]
             spans = _split_spans(generated)
-            if len(spans) < n_spans:
-                break  # token budget exhausted; keep what we have
             restored = restore_marked_input(src_tokens, generated)
+            if len(spans) < n_spans:
+                # token budget exhausted; keep the partial splice
+                # (unfilled slots retain their m_0 markers)
+                break
             progressed = True
             while settled < len(groups) and progressed:
                 bar_num, track_pos = group_slots[settled]
@@ -915,6 +917,8 @@ class InfillEngine:
         n_spans = len(span_codes)
         if n_spans == 0:
             return None
+        if n_spans > decoder.max_spans:
+            return None
 
         # group spans: each SPAN_BODY opens a (bar, track) group; the
         # control spans that follow it belong to the group
@@ -985,9 +989,11 @@ class InfillEngine:
                 self.vocab.index2char(int(t)) for t in tokens[0][: int(lengths[0])]
             ]
             spans = _split_spans(generated)
-            if len(spans) < n_spans:
-                break  # decode exhausted the budget; keep what we have
             restored = restore_marked_input(src_tokens, generated)
+            if len(spans) < n_spans:
+                # decode exhausted the budget; keep the partial splice
+                # (unfilled slots retain their m_0 markers)
+                break
 
             substituted = False
             progressed = True
