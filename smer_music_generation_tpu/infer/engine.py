@@ -744,21 +744,83 @@ class InfillEngine:
         independently, which is both the reference's behavior and far more
         likely to keep sampled (unrepaired) music.
         """
-        decoder = self._eval_decoder
-        src_tokens = [self.vocab.index2char(int(t)) for t in req.src]
-        span_codes = list(req.span_codes)
-        n_spans = len(span_codes)
-        if n_spans == 0:
+        state = self._settle_loop(
+            req, rng,
+            check_close=True,
+            retry_time=True,
+            # terminates: every iteration settles >= 1 group or increments
+            # the current group's attempt counter, which is capped
+            max_decodes=self._n_groups(req) * (self.max_time_fix_attempts + 1),
+            settle_fn=None,
+            final_replay=False,
+        )
+        if state is None:
             return None
-        if n_spans > decoder.max_spans:
-            return None
+        generated, restored, corrections, failed = state
+        if fix_durations and self.vocab.mode == 0:
+            restored = self._repair_durations(restored, req.table)
+        return InfillResult(
+            events=restored,
+            generated=generated,
+            mask_tracks=req.mask_tracks,
+            mask_bars=req.mask_bars,
+            decode_steps=len(generated),
+            time_corrections=sum(corrections),
+            time_failed=any(failed),
+            time_corrections_per_span=corrections,
+            time_failed_per_span=failed,
+        )
 
+    @staticmethod
+    def _span_groups(req: "PreparedRequest") -> List[List[int]]:
+        """Span indices grouped per masked (bar, track): each SPAN_BODY
+        opens a group; the control spans that follow belong to it."""
         groups: List[List[int]] = []
-        for k, code in enumerate(span_codes):
+        for k, code in enumerate(req.span_codes):
             if code == SPAN_CODE["r"]:
                 groups.append([k])
             elif groups:
                 groups[-1].append(k)
+        return groups
+
+    def _n_groups(self, req: "PreparedRequest") -> int:
+        return len(self._span_groups(req))
+
+    def _settle_loop(
+        self,
+        req: "PreparedRequest",
+        rng,
+        check_close: bool,
+        retry_time: bool,
+        max_decodes: int,
+        settle_fn,
+        final_replay: bool,
+    ):
+        """Shared per-group settle driver for the eval retry paths
+        (reference ``evaluation.py:1217-1397``).
+
+        Masked (bar, track) groups settle in source order.  A group whose
+        body fails the bar-duration closure check is re-decoded with fresh
+        noise (already-settled groups teacher-forced) up to
+        ``max_time_fix_attempts`` times, then accepted as-is.  At settle
+        time ``settle_fn(gi, spans, restored) -> {span_idx: token}`` may
+        substitute tokens into later spans (the in-decode
+        ``use_correct_control`` hook); a substitution forces the remainder
+        to re-decode conditioned on it.  ``final_replay`` keeps looping
+        after the last group settles so a trailing substitution is
+        materialised by one fully-forced replay.
+
+        Returns ``(generated, restored, corrections, failed)`` or None for
+        empty/oversized requests.
+        """
+        decoder = self._eval_decoder
+        src_tokens = [self.vocab.index2char(int(t)) for t in req.src]
+        span_codes = list(req.span_codes)
+        n_spans = len(span_codes)
+        if n_spans == 0 or n_spans > decoder.max_spans:
+            return None
+
+        groups = self._span_groups(req)
         group_slots = sorted(zip(req.mask_bars, req.mask_tracks))
 
         src_b = pad_to_bucket(np.asarray(req.src, np.int32)[None])
@@ -775,10 +837,7 @@ class InfillEngine:
         generated: List[str] = []
         restored = src_tokens
         decode_i = 0
-        # terminates: every iteration settles >= 1 group or increments the
-        # current group's attempt counter, which is capped
-        max_decodes = len(groups) * (self.max_time_fix_attempts + 1)
-        while settled < len(groups) and decode_i < max_decodes:
+        while decode_i < max_decodes and (final_replay or settled < len(groups)):
             if forced_stream:
                 forced_ids = np.asarray(
                     [[self.vocab.char2index(t) for t in forced_stream]], np.int32
@@ -802,47 +861,53 @@ class InfillEngine:
                 # token budget exhausted; keep the partial splice
                 # (unfilled slots retain their m_0 markers)
                 break
+
+            substituted = False
             progressed = True
             while settled < len(groups) and progressed:
-                bar_num, track_pos = group_slots[settled]
-                if self._group_closes(restored, req, bar_num, track_pos):
-                    corrections.append(attempts.get(settled, 0))
-                    failed.append(0)
-                    settled += 1
-                elif attempts.get(settled, 0) >= self.max_time_fix_attempts:
-                    corrections.append(attempts[settled])
-                    failed.append(1)
-                    settled += 1
-                else:
-                    attempts[settled] = attempts.get(settled, 0) + 1
+                gi = settled
+                bar_num, track_pos = group_slots[gi]
+                time_ok = not check_close or self._group_closes(
+                    restored, req, bar_num, track_pos
+                )
+                if (
+                    not time_ok
+                    and retry_time
+                    and attempts.get(gi, 0) < self.max_time_fix_attempts
+                ):
+                    attempts[gi] = attempts.get(gi, 0) + 1
                     progressed = False
-            if settled >= len(groups):
+                    break
+                # time settled (closed or retries exhausted)
+                subs = settle_fn(gi, spans, restored) if settle_fn else None
+                if subs:
+                    for si, tok in subs.items():
+                        spans[si] = [tok]
+                corrections.append(attempts.get(gi, 0))
+                failed.append(0 if time_ok else 1)
+                settled = gi + 1
+                if subs:
+                    # later spans must re-decode conditioned on the
+                    # substituted value
+                    substituted = True
+                    progressed = False
+            if settled >= len(groups) and not substituted:
                 break
             last_span = groups[settled - 1][-1] if settled else -1
             forced_stream = []
             for si in range(last_span + 1):
                 forced_stream.append("m_0")
                 forced_stream.extend(spans[si])
+            # if everything settled but the final substitution is not in
+            # `generated` yet, the next iteration is a fully-forced replay
+            # that materialises it, then breaks
 
         # groups left unsettled by an early break (token budget exhausted)
-        # count as failed — the forced repair rewrites them below
+        # count as failed — the forced repair rewrites them downstream
         for gi in range(settled, len(groups)):
             corrections.append(attempts.get(gi, 0))
             failed.append(1)
-
-        if fix_durations and self.vocab.mode == 0:
-            restored = self._repair_durations(restored, req.table)
-        return InfillResult(
-            events=restored,
-            generated=generated,
-            mask_tracks=req.mask_tracks,
-            mask_bars=req.mask_bars,
-            decode_steps=len(generated),
-            time_corrections=sum(corrections),
-            time_failed=any(failed),
-            time_corrections_per_span=corrections,
-            time_failed_per_span=failed,
-        )
+        return generated, restored, corrections, failed
 
     def _group_closes(
         self, events: List[str], req: "PreparedRequest", bar_num: int, track_pos: int
@@ -911,23 +976,9 @@ class InfillEngine:
         """
         from ..eval.controllability import recompute_bar_track_control
 
-        decoder = self._eval_decoder
         src_tokens = [self.vocab.index2char(int(t)) for t in req.src]
         span_codes = list(req.span_codes)
-        n_spans = len(span_codes)
-        if n_spans == 0:
-            return None
-        if n_spans > decoder.max_spans:
-            return None
-
-        # group spans: each SPAN_BODY opens a (bar, track) group; the
-        # control spans that follow it belong to the group
-        groups: List[List[int]] = []
-        for k, code in enumerate(span_codes):
-            if code == SPAN_CODE["r"]:
-                groups.append([k])
-            elif groups:
-                groups[-1].append(k)
+        groups = self._span_groups(req)
         # groups follow source-position order = (bar asc, track asc)
         group_slots = sorted(zip(req.mask_bars, req.mask_tracks))
 
@@ -942,121 +993,53 @@ class InfillEngine:
             else None
         )
 
-        src_b = pad_to_bucket(np.asarray(req.src, np.int32)[None])
-        span_types = np.zeros((1, decoder.max_spans), np.int32)
-        span_types[0, :n_spans] = span_codes
-        n_spans_b = np.asarray([n_spans], np.int32)
-        no_whole = np.asarray([req.no_whole_duration])
+        def measure_and_substitute(gi, spans, restored):
+            """Measure the settled group's body; substitute its sampled
+            control copies with the measured values."""
+            bar_num = group_slots[gi][0]
+            body = spans[groups[gi][0]]
+            subs: Dict[int, str] = {}
+            d, o, y = recompute_bar_track_control(body, header)
+            measured = {
+                SPAN_CODE["d"]: f"d_{d}" if d >= 0 else None,
+                SPAN_CODE["o"]: f"o_{o}" if o >= 0 else None,
+                SPAN_CODE["p"]: f"y_{y}" if y >= 0 else None,
+            }
+            for si in groups[gi][1:]:
+                code = span_codes[si]
+                if code == SPAN_CODE["t"]:
+                    want = self._measured_tensile(
+                        spans, src_tokens, bar_num, header, key_name
+                    )
+                else:
+                    want = measured.get(code)
+                if want is not None and spans[si] and spans[si][0] != want:
+                    subs[si] = want
+            return subs
 
         check_close = fix_durations and self.vocab.mode == 0
-        retry_time = (
-            check_close
-            and not self.decoder.greedy  # fresh noise needs sampling
-            and self.max_time_fix_attempts > 0
+        state = self._settle_loop(
+            req, rng,
+            check_close=check_close,
+            retry_time=(
+                check_close
+                and not self.decoder.greedy  # fresh noise needs sampling
+                and self.max_time_fix_attempts > 0
+            ),
+            # terminates: every decode either increments one group's attempt
+            # counter (capped) or settles >= 1 group; a settled group can
+            # force at most one extra replay (its control substitution)
+            max_decodes=(
+                max_rounds
+                if max_rounds is not None
+                else len(groups) * (self.max_time_fix_attempts + 2) + 1
+            ),
+            settle_fn=measure_and_substitute,
+            final_replay=True,
         )
-        settled = 0
-        attempts: Dict[int, int] = {}
-        corrections: List[int] = []
-        failed: List[int] = []
-        forced_stream: List[str] = []
-        generated: List[str] = []
-        restored = src_tokens
-        decode_i = 0
-        # terminates: every decode either increments one group's attempt
-        # counter (capped) or settles >= 1 group; a settled group can force
-        # at most one extra replay (its control substitution)
-        max_decodes = (
-            max_rounds
-            if max_rounds is not None
-            else len(groups) * (self.max_time_fix_attempts + 2) + 1
-        )
-        while decode_i < max_decodes:
-            if forced_stream:
-                forced_ids = np.asarray(
-                    [[self.vocab.char2index(t) for t in forced_stream]], np.int32
-                )
-                forced_len = np.asarray([len(forced_stream)], np.int32)
-            else:
-                forced_ids = forced_len = None
-            out = decoder(
-                self.params, src_b, span_types, n_spans_b, no_whole,
-                jax.random.fold_in(rng, decode_i),
-                forced=forced_ids, forced_len=forced_len,
-            )
-            decode_i += 1
-            tokens, lengths = jax.device_get((out.tokens, out.lengths))
-            generated = [
-                self.vocab.index2char(int(t)) for t in tokens[0][: int(lengths[0])]
-            ]
-            spans = _split_spans(generated)
-            restored = restore_marked_input(src_tokens, generated)
-            if len(spans) < n_spans:
-                # decode exhausted the budget; keep the partial splice
-                # (unfilled slots retain their m_0 markers)
-                break
-
-            substituted = False
-            progressed = True
-            while settled < len(groups) and progressed:
-                gi = settled
-                bar_num, track_pos = group_slots[gi]
-                time_ok = not check_close or self._group_closes(
-                    restored, req, bar_num, track_pos
-                )
-                if (
-                    not time_ok
-                    and retry_time
-                    and attempts.get(gi, 0) < self.max_time_fix_attempts
-                ):
-                    attempts[gi] = attempts.get(gi, 0) + 1
-                    progressed = False
-                    break
-                # time settled (closed or retries exhausted) — measure the
-                # body and substitute the group's sampled control copies
-                body = spans[groups[gi][0]]
-                subs: Dict[int, str] = {}
-                d, o, y = recompute_bar_track_control(body, header)
-                measured = {
-                    SPAN_CODE["d"]: f"d_{d}" if d >= 0 else None,
-                    SPAN_CODE["o"]: f"o_{o}" if o >= 0 else None,
-                    SPAN_CODE["p"]: f"y_{y}" if y >= 0 else None,
-                }
-                for si in groups[gi][1:]:
-                    code = span_codes[si]
-                    if code == SPAN_CODE["t"]:
-                        want = self._measured_tensile(
-                            spans, src_tokens, bar_num, header, key_name
-                        )
-                    else:
-                        want = measured.get(code)
-                    if want is not None and spans[si] and spans[si][0] != want:
-                        subs[si] = want
-                for si, tok in subs.items():
-                    spans[si] = [tok]
-                corrections.append(attempts.get(gi, 0))
-                failed.append(0 if time_ok else 1)
-                settled = gi + 1
-                if subs:
-                    # later spans must re-decode conditioned on the
-                    # substituted value
-                    substituted = True
-                    progressed = False
-            if settled >= len(groups) and not substituted:
-                break
-            last_span = groups[settled - 1][-1] if settled else -1
-            forced_stream = []
-            for si in range(last_span + 1):
-                forced_stream.append("m_0")
-                forced_stream.extend(spans[si])
-            # if everything settled but the final substitution is not in
-            # `generated` yet, the next iteration is a fully-forced replay
-            # that materialises it, then breaks
-
-        # groups left unsettled by an early break (token budget exhausted)
-        for gi in range(settled, len(groups)):
-            corrections.append(attempts.get(gi, 0))
-            failed.append(1)
-
+        if state is None:
+            return None
+        generated, restored, corrections, failed = state
         if fix_durations and self.vocab.mode == 0:
             restored = self._repair_durations(restored, req.table)
         return InfillResult(
