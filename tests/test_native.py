@@ -76,3 +76,25 @@ def test_native_empty_bar():
     )
     py = bar_notes_to_event([], 0.0, 2.4, np.arange(5) * 0.6, table, table.minimum_difference)
     assert nat[0] == py[0] == ["rest", "whole"]
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_track_native_matches_per_bar_pipeline(seed):
+    """midi_to_events through the one-call-per-track core must emit the
+    exact token stream of the per-bar fallback (ties carried across bars,
+    multi-track interleave, empty bars)."""
+    from smer_music_generation_tpu.codec import smer
+    from tests.test_annotate import make_two_track_score
+
+    score_a = make_two_track_score(bars=12, seed=seed)
+    score_b = make_two_track_score(bars=12, seed=seed)
+    smer.set_native_tokenizer(True)
+    try:
+        native = smer.midi_to_events(score_a)
+        smer.set_native_tokenizer(False)
+        python = smer.midi_to_events(score_b)
+    finally:
+        smer.set_native_tokenizer(True)
+    assert (native is None) == (python is None)
+    if native is not None:
+        assert native[0] == python[0], f"seed={seed}"
