@@ -27,6 +27,44 @@ def _enable_compile_cache():
     enable_persistent_cache()
 
 
+def _require_device(timeout_s=None):
+    """Initialize the jax backend under a watchdog.
+
+    The TPU chip is reached through a remote tunnel; when the tunnel is
+    down, backend init blocks indefinitely (observed: >2 min hangs) and a
+    hung benchmark is worse than a failed one.  If the backend does not
+    come up within the deadline, emit one parseable JSON error line and
+    exit non-zero.
+    """
+    import threading
+
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("BENCH_DEVICE_TIMEOUT", "600"))
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s):
+            print(
+                json.dumps(
+                    {
+                        "error": "device backend failed to initialize "
+                        f"within {timeout_s:.0f}s (TPU tunnel down?)",
+                        "metric": "infill_tokens_per_sec_per_chip",
+                        "value": None,
+                    }
+                ),
+                flush=True,
+            )
+            os._exit(2)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    import jax
+
+    backend = jax.default_backend()
+    done.set()
+    return backend
+
+
 def build_flagship():
     import jax
     import jax.numpy as jnp
@@ -268,6 +306,7 @@ def main():
     # CPU-bound build benchmark first: it measures the native tokenizer,
     # not leftover host contention from the device benchmarks
     build = bench_dataset_build() if args.all else None
+    _require_device()
     vocab, model, params = build_flagship()
     headline = bench_single(vocab, model, params, quant=args.quant)
 
