@@ -62,6 +62,22 @@ def _require_device(timeout_s=None):
 
     backend = jax.default_backend()
     done.set()
+    if backend != "tpu" and not os.environ.get("BENCH_ALLOW_CPU"):
+        # a fast tunnel failure (connection refused rather than a hang)
+        # makes jax fall back to CPU: those numbers must not be recorded
+        # as per-chip TPU results
+        print(
+            json.dumps(
+                {
+                    "error": f"backend is '{backend}', not 'tpu' "
+                    "(set BENCH_ALLOW_CPU=1 to bench anyway)",
+                    "metric": "infill_tokens_per_sec_per_chip",
+                    "value": None,
+                }
+            ),
+            flush=True,
+        )
+        raise SystemExit(2)
     return backend
 
 

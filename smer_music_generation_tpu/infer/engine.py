@@ -754,6 +754,12 @@ class InfillEngine:
             settle_fn=None,
             final_replay=False,
         )
+        return self._settled_result(state, req, fix_durations)
+
+    def _settled_result(
+        self, state, req: "PreparedRequest", fix_durations: bool
+    ) -> Optional[InfillResult]:
+        """`_settle_loop` state -> InfillResult (shared by both eval paths)."""
         if state is None:
             return None
         generated, restored, corrections, failed = state
@@ -803,11 +809,12 @@ class InfillEngine:
         body fails the bar-duration closure check is re-decoded with fresh
         noise (already-settled groups teacher-forced) up to
         ``max_time_fix_attempts`` times, then accepted as-is.  At settle
-        time ``settle_fn(gi, spans, restored) -> {span_idx: token}`` may
-        substitute tokens into later spans (the in-decode
-        ``use_correct_control`` hook); a substitution forces the remainder
-        to re-decode conditioned on it.  ``final_replay`` keeps looping
-        after the last group settles so a trailing substitution is
+        time ``settle_fn(group, slot, spans, restored) -> {span_idx: token}``
+        (``group`` = the group's span indices, ``slot`` = its
+        ``(bar, track)``) may substitute tokens into later spans (the
+        in-decode ``use_correct_control`` hook); a substitution forces the
+        remainder to re-decode conditioned on it.  ``final_replay`` keeps
+        looping after the last group settles so a trailing substitution is
         materialised by one fully-forced replay.
 
         Returns ``(generated, restored, corrections, failed)`` or None for
@@ -879,7 +886,11 @@ class InfillEngine:
                     progressed = False
                     break
                 # time settled (closed or retries exhausted)
-                subs = settle_fn(gi, spans, restored) if settle_fn else None
+                subs = (
+                    settle_fn(groups[gi], group_slots[gi], spans, restored)
+                    if settle_fn
+                    else None
+                )
                 if subs:
                     for si, tok in subs.items():
                         spans[si] = [tok]
@@ -976,11 +987,12 @@ class InfillEngine:
         """
         from ..eval.controllability import recompute_bar_track_control
 
-        src_tokens = [self.vocab.index2char(int(t)) for t in req.src]
         span_codes = list(req.span_codes)
-        groups = self._span_groups(req)
-        # groups follow source-position order = (bar asc, track asc)
-        group_slots = sorted(zip(req.mask_bars, req.mask_tracks))
+        if not span_codes or len(span_codes) > self._eval_decoder.max_spans:
+            # degenerate request (e.g. run_batch's n_spans=0 padding
+            # dummies): bail before parsing the header below
+            return None
+        src_tokens = [self.vocab.index2char(int(t)) for t in req.src]
 
         bar0 = next(i for i, t in enumerate(src_tokens) if t == "bar")
         header = [src_tokens[0], src_tokens[1]] + [
@@ -993,11 +1005,11 @@ class InfillEngine:
             else None
         )
 
-        def measure_and_substitute(gi, spans, restored):
+        def measure_and_substitute(group, slot, spans, restored):
             """Measure the settled group's body; substitute its sampled
             control copies with the measured values."""
-            bar_num = group_slots[gi][0]
-            body = spans[groups[gi][0]]
+            bar_num = slot[0]
+            body = spans[group[0]]
             subs: Dict[int, str] = {}
             d, o, y = recompute_bar_track_control(body, header)
             measured = {
@@ -1005,7 +1017,7 @@ class InfillEngine:
                 SPAN_CODE["o"]: f"o_{o}" if o >= 0 else None,
                 SPAN_CODE["p"]: f"y_{y}" if y >= 0 else None,
             }
-            for si in groups[gi][1:]:
+            for si in group[1:]:
                 code = span_codes[si]
                 if code == SPAN_CODE["t"]:
                     want = self._measured_tensile(
@@ -1032,27 +1044,12 @@ class InfillEngine:
             max_decodes=(
                 max_rounds
                 if max_rounds is not None
-                else len(groups) * (self.max_time_fix_attempts + 2) + 1
+                else self._n_groups(req) * (self.max_time_fix_attempts + 2) + 1
             ),
             settle_fn=measure_and_substitute,
             final_replay=True,
         )
-        if state is None:
-            return None
-        generated, restored, corrections, failed = state
-        if fix_durations and self.vocab.mode == 0:
-            restored = self._repair_durations(restored, req.table)
-        return InfillResult(
-            events=restored,
-            generated=generated,
-            mask_tracks=req.mask_tracks,
-            mask_bars=req.mask_bars,
-            decode_steps=len(generated),
-            time_corrections=sum(corrections),
-            time_failed=any(failed),
-            time_corrections_per_span=corrections,
-            time_failed_per_span=failed,
-        )
+        return self._settled_result(state, req, fix_durations)
 
     def _measured_tensile(
         self,

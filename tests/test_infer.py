@@ -757,6 +757,24 @@ def test_in_decode_correct_controls(vocab, mode2_events, tiny_engine):
     assert checked == len(result.mask_bars) > 0
 
 
+def test_correct_controls_degenerate_request(vocab, tiny_engine):
+    """A request with zero spans (run_batch's padding dummies) returns
+    None instead of raising while parsing the header."""
+    import numpy as np
+
+    from smer_music_generation_tpu.infer.engine import PreparedRequest
+
+    dummy = PreparedRequest(
+        src=np.zeros(4, np.int32),
+        span_codes=[],
+        mask_tracks=[],
+        mask_bars=[],
+        table=None,
+        no_whole_duration=True,
+    )
+    assert tiny_engine.run_with_correct_controls(dummy, jax.random.PRNGKey(0)) is None
+
+
 def test_shard_batch_warns_on_uneven_batch(vocab, tiny_engine):
     """A mesh-configured engine must warn (not silently degrade) when the
     batch cannot be dp-sharded (VERDICT r1 weak #5)."""
