@@ -432,6 +432,42 @@ def test_kernel_looped_v4_matches_v3():
                               np.asarray(r4.tokens)[0, :n]), kw
 
 
+def test_kernel_looped_v4_respects_cap():
+    """A stream still live at max_tgt_len must clamp (ADVICE r1): with
+    token_chunk > 1 the in-kernel cap is per chunk, so without the
+    post-loop clamp lengths could exceed L and tokens spill into slop
+    rows.  Assert lengths <= L, output shape (B, L), token-exact vs v3."""
+    from smer_music_generation_tpu.infer.decode import InfillDecoder, pad_to_bucket
+    from smer_music_generation_tpu.vocab import CONTROL_SETS, WordVocab
+
+    vocab = WordVocab(0, CONTROL_SETS[5])
+    cfg, model, params, _ = _decode_fixture(V=vocab.vocab_size, nl=2)
+
+    # 160 spans cannot fit in 512 tokens: the stream is still live at the
+    # cap (verified: v3 reports lengths == 512)
+    src_tokens = ["4/4", "t_3", "k_0", "d_2", "o_2", "y_2", "i_0",
+                  "bar", "s_2", "track_0", "d_2", "o_2", "y_2"] + ["m_0"] * 160
+    src = np.array([[vocab.char2index(t) for t in src_tokens]], np.int32)
+    src = pad_to_bucket(src, bucket=512)
+    span_types = np.zeros((1, 160), np.int32)
+    span_types[0, :] = np.tile([0, 1, 2, 3], 40)
+    n_spans = np.asarray([160], np.int32)
+    rng = jax.random.PRNGKey(3)
+
+    L = 512
+    kw = dict(max_tgt_len=L, nucleus_p=None, greedy=True, fused=True,
+              fused_sampling=True, interpret=True)
+    v3 = InfillDecoder(model, vocab, **kw)
+    v4 = InfillDecoder(model, vocab, token_chunk=8, **kw)
+    r3 = v3(params, src, span_types, n_spans, False, rng)
+    r4 = v4(params, src, span_types, n_spans, False, rng)
+    assert int(r3.lengths[0]) == L  # the cap is actually hit
+    assert np.asarray(r4.tokens).shape[1] == L
+    assert int(r4.lengths[0]) <= L
+    assert int(r4.lengths[0]) == L
+    assert np.array_equal(np.asarray(r3.tokens)[0], np.asarray(r4.tokens)[0])
+
+
 def test_fused_decode_sharded_matches_unsharded():
     """shard_map'd fused loop over a dp=8 CPU mesh: tokens bit-identical
     to the single-shard fused kernel (VERDICT r1: multi-chip serving must
