@@ -188,19 +188,23 @@ class Prefetcher:
         """Release the worker thread and wake any blocked consumer
         (idempotent)."""
         self._stop.set()
+        # join FIRST: the worker exits within its 0.1s put timeout once
+        # _stop is set.  Draining before the join raced a final put() —
+        # the worker could refill a depth-1 queue between the drain and
+        # the sentinel, the Full was swallowed, and a consumer blocked in
+        # get() never woke.
+        self._thread.join(timeout=2.0)
         while True:
             try:
                 self._queue.get_nowait()
             except Exception:
                 break
-        # wake consumers blocked in get(): the queue was just drained, so
-        # there is room for the sentinel (the worker stops putting once
-        # _stop is set and would otherwise never deliver it)
+        # wake consumers blocked in get(): no producer is live, so the
+        # just-drained queue has room for the sentinel
         try:
             self._queue.put_nowait(self._sentinel)
         except Exception:
             pass
-        self._thread.join(timeout=1.0)
 
     def __del__(self):  # constructed-but-never-iterated: stop the poll loop
         self._stop.set()

@@ -99,8 +99,10 @@ class MicroBatcher:
         while True:
             batch = self._collect()
             try:
-                # one rng for the group: run_batch folds in per-group salt,
-                # and per-element span structure decorrelates the streams
+                # one rng for the group is sound: the decoder draws its
+                # gumbel noise as ONE (L, B, V) array, so every batch row
+                # sees distinct noise — identical co-batched requests still
+                # sample independently
                 results = self.engine.run_batch(
                     [b.request for b in batch], batch[0].rng
                 )
@@ -154,12 +156,26 @@ class ServingContext:
     def handle_encode(self, payload: Dict) -> Dict:
         controls = payload.get("controls", {})
         start_bar = controls.get("start_bar", 1)
-        score = note_midi(payload["notes"], start_bar)
+        notes = payload["notes"]
+        score = note_midi(notes, start_bar)
         if score is None:
             return {"error": "no playable tracks"}
         track_names = [
             f"track_{i}" for i in range(len(score.instruments))
         ]
+        # note_midi keeps only present tracks with program > 0 (reference
+        # encode.py:110-120), so sparse plugin track sets are renumbered
+        # densely; everything downstream (/generate's `tracks` indices,
+        # lock-flag keys) uses THIS namespace.  Return the mapping so the
+        # plugin can translate its own track numbers.
+        surviving = [
+            n for n in range(5)
+            if f"track_{n}" in notes and notes.get(f"track_{n}_program", 0) > 0
+        ]
+        track_map = {
+            f"track_{plugin_n}": track_names[i]
+            for i, plugin_n in enumerate(surviving)
+        }
         result = encode_midi(
             score,
             controls={"key": controls.get("key")},
@@ -175,7 +191,7 @@ class ServingContext:
             from ..codec.remi import smer_to_remi
 
             events = smer_to_remi(events)
-        return {"events": events, "controls": all_controls}
+        return {"events": events, "controls": all_controls, "track_map": track_map}
 
     def handle_generate(self, payload: Dict) -> Dict:
         events = list(payload["events"])
@@ -246,10 +262,12 @@ def make_handler(ctx: ServingContext):
                 self._send(404, {"error": "not found"})
 
         def do_POST(self):
-            length = int(self.headers.get("Content-Length", 0))
             try:
+                length = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(length) or b"{}")
-            except json.JSONDecodeError:
+            except (json.JSONDecodeError, ValueError):
+                # ValueError also covers a non-numeric Content-Length:
+                # answer 400 instead of dropping the connection
                 self._send(400, {"error": "bad json"})
                 return
             try:

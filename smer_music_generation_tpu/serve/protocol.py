@@ -97,11 +97,21 @@ def merge_pm(
     denominator: int,
     tempo: float,
 ) -> MidiScore:
-    """Splice the infilled window's notes back into the full song."""
+    """Splice the infilled window's notes back into the full song.
+
+    Conscious divergence: the reference computes the bar length as
+    ``beat_time * numerator`` (``encode.py:1348-1353``), ignoring the
+    denominator — inconsistent with its own ``note_midi`` (``:98``) and
+    wrong for 6/8, where the splice window lands at 2x the real bar
+    offset and deletes the wrong region.  Here all three protocol
+    functions use ``numerator * 4 / denominator`` quarter-beats per bar
+    (identical for the 2/4, 3/4, 4/4 paths the reference exercised).
+    """
     beat_time = 60 / tempo
-    start_fill = beat_time * numerator * (controls["s_bar"] - 1)
-    end_fill = beat_time * numerator * controls["e_bar"]
-    partial_shift = (controls["start_bar"] - 1) * beat_time * numerator
+    bar_beats = numerator * 4 / denominator
+    start_fill = beat_time * bar_beats * (controls["s_bar"] - 1)
+    end_fill = beat_time * bar_beats * controls["e_bar"]
+    partial_shift = (controls["start_bar"] - 1) * beat_time * bar_beats
 
     for track_num, track in enumerate(total.instruments):
         track.notes = [

@@ -58,7 +58,13 @@ def pad_batch_rows(batch: Dict[str, np.ndarray], multiple: int) -> Dict[str, np.
 class Trainer:
     def __init__(self, cfg: ExperimentConfig, logger=None):
         self.cfg = cfg
-        self.logger = logger or logger_init(os.path.join(cfg.output_dir, "logging.log"))
+        # append when re-entering an output_dir (resume or an existing
+        # run.json): mode='w' would truncate the previous run's log
+        self.logger = logger or logger_init(
+            os.path.join(cfg.output_dir, "logging.log"),
+            append=bool(cfg.resume_from)
+            or os.path.exists(os.path.join(cfg.output_dir, "run.json")),
+        )
         from ..utils.logging import RunIdentity
 
         self.run_identity = RunIdentity(

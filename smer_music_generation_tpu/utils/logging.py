@@ -64,7 +64,9 @@ class RunIdentity:
             self.run_id = meta["run_id"]
             self.resumed = True
             old = meta.get("config") or {}
-            new = config or {}
+            # config=None means "no override" (meta keeps its config), so
+            # it must not diff as every-key-changed-to-None
+            new = config if config is not None else old
             for k in sorted(set(old) | set(new)):
                 if old.get(k) != new.get(k):
                     self.config_diff[k] = (old.get(k), new.get(k))
@@ -85,6 +87,14 @@ class RunIdentity:
             logger.info(f"resuming run {self.run_id}")
             for k, (a, b) in self.config_diff.items():
                 logger.warning(f"config override on resume: {k}: {a!r} -> {b!r}")
+
+
+def _json_ok(v) -> bool:
+    try:
+        json.dumps(v)
+        return True
+    except TypeError:
+        return False
 
 
 class MetricsLogger:
@@ -111,7 +121,15 @@ class MetricsLogger:
                 record[k] = float(v)
             except (TypeError, ValueError):
                 record[k] = v
-        self._fh.write(json.dumps(record) + "\n")
+        try:
+            line = json.dumps(record)
+        except TypeError:
+            # non-serializable values (arrays, objects) must degrade, not
+            # kill the training step that logged them
+            line = json.dumps(
+                {k: v if _json_ok(v) else repr(v) for k, v in record.items()}
+            )
+        self._fh.write(line + "\n")
         self._fh.flush()
 
     def close(self) -> None:

@@ -135,3 +135,23 @@ def test_run_identity_resume_and_config_diff(tmp_path):
     meta = json.load(open(tmp_path / "run.json"))
     assert meta["config"]["lr"] == 5e-5  # override wins
     assert len(meta["resumes"]) == 1
+
+    # config=None means "no override": no spurious every-key-to-None diff
+    r3 = RunIdentity(str(tmp_path))
+    assert r3.resumed and r3.config_diff == {}
+    meta = json.load(open(tmp_path / "run.json"))
+    assert meta["config"]["lr"] == 5e-5  # unchanged
+
+
+def test_metrics_logger_degrades_on_unserializable(tmp_path):
+    """Non-JSON values (arrays) must degrade to repr, not raise out of
+    log() and kill the training step."""
+    import json
+
+    import numpy as np
+
+    m = MetricsLogger(str(tmp_path / "m.jsonl"))
+    m.log({"loss": 1.0, "per_class": np.arange(3)}, step=1)
+    m.close()
+    rec = json.loads(open(tmp_path / "m.jsonl").read().strip())
+    assert rec["loss"] == 1.0 and "per_class" in rec

@@ -269,3 +269,29 @@ def test_prefetcher_close_releases_abandoned_worker():
     pf._thread.join(timeout=5)
     assert not pf._thread.is_alive()
     assert threading.active_count() <= before + 1
+
+
+def test_prefetcher_close_wakes_blocked_consumer():
+    """close() must wake a consumer blocked in get() even at depth=1,
+    where a final worker put() used to race the drain-then-sentinel and
+    leave the consumer deadlocked."""
+    import itertools
+    import threading
+
+    from smer_music_generation_tpu.data.loader import Prefetcher
+
+    for _ in range(20):  # the race is timing-dependent; hammer it
+        pf = Prefetcher(iter(itertools.count()), depth=1)
+        consumed = []
+
+        def consume(pf=pf, consumed=consumed):
+            for x in pf:
+                consumed.append(x)
+
+        t = threading.Thread(target=consume, daemon=True)
+        t.start()
+        while not consumed:  # consumer is live and past the first get
+            pass
+        pf.close()
+        t.join(timeout=5)
+        assert not t.is_alive(), "consumer deadlocked after close()"

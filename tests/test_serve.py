@@ -70,6 +70,31 @@ def test_merge_pm():
             assert n.pitch != 60 or n.pitch > 60  # replaced notes shifted
 
 
+def test_merge_pm_non_quarter_denominator():
+    """Conscious divergence from the reference (encode.py:1348-1353):
+    the splice window must use numerator*4/denominator quarter-beats per
+    bar, consistent with note_midi/midi2notes — in 6/8 the reference's
+    numerator-only math lands the window at 2x the real bar offset."""
+    data = {
+        "tempo": 120, "numerator": 6, "denominator": 8,
+        # one note at the start of each of 8 bars (bar = 3 quarter-beats)
+        "track_0": [[60 + bar, bar * 3, 1] for bar in range(8)],
+        "track_0_program": 1,
+    }
+    total = note_midi(data, start_bar=1)
+    partial = note_midi(dict(data, track_0=[[90, bar * 3, 1] for bar in range(8)]),
+                        start_bar=1)
+    controls = {"start_bar": 1, "s_bar": 2, "e_bar": 3}
+    merged = merge_pm(total, partial, controls, 6, 8, 120.0)
+    beat = 60 / 120
+    bar_len = beat * 3  # 6/8 at quarter=120: 3 quarter-beats per bar
+    for n in merged.instruments[0].notes:
+        if bar_len * 1 <= n.start < bar_len * 3:  # bars 2-3 (1-based)
+            assert n.pitch == 90, f"bar-2/3 note not replaced: {n}"
+        else:
+            assert n.pitch != 90, f"note outside the window replaced: {n}"
+
+
 @pytest.fixture(scope="module")
 def server_url():
     vocab = WordVocab(0, CONTROL_SETS[5])
@@ -108,6 +133,8 @@ def test_http_encode_then_generate(server_url):
     assert "events" in enc, enc
     events, controls = enc["events"], enc["controls"]
     assert controls["track_nums"] == 2
+    # dense payload: identity mapping
+    assert enc["track_map"] == {"track_0": "track_0", "track_1": "track_1"}
 
     controls["bar_track"] = 0
     controls["track_0_c"] = controls["track_0"]
@@ -125,6 +152,26 @@ def test_http_encode_then_generate(server_url):
     assert "events" in gen, gen
     assert "m_0" not in gen["events"]
     assert gen["decode_steps"] > 0
+
+
+def test_http_encode_sparse_tracks(server_url):
+    """note_midi keeps only present tracks with program > 0 (reference
+    encode.py:110-120), renumbering densely; /encode returns the
+    plugin-name -> encoded-name map so callers can translate."""
+    payload = plugin_payload()
+    sparse = {
+        "tempo": payload["tempo"],
+        "numerator": payload["numerator"],
+        "denominator": payload["denominator"],
+        "track_1": payload["track_0"],
+        "track_1_program": payload["track_0_program"],
+        "track_3": payload["track_1"],
+        "track_3_program": payload["track_1_program"],
+    }
+    enc = _post(server_url + "/encode", {"notes": sparse, "controls": {}})
+    assert "events" in enc, enc
+    assert enc["controls"]["track_nums"] == 2
+    assert enc["track_map"] == {"track_1": "track_0", "track_3": "track_1"}
 
 
 # ---------------------------------------------------------------------------
