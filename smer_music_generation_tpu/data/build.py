@@ -55,17 +55,37 @@ def _shift_pitch_token(token: str, shift: int) -> str:
     return f"p_{pitch}"
 
 
+def _shift_key_token(key_token: str, shift: int) -> str:
+    """Transpose a ``k_*`` token by ``shift`` semitones (same mode)."""
+    this_key = ALL_KEY_NAMES[int(key_token[2:])]
+    names = ALL_MAJOR_NAMES if this_key.endswith("major") else ALL_MINOR_NAMES
+    pos = int(np.where(names == this_key)[0][0])
+    return KEY_TO_TOKEN[str(names[(pos + shift) % 12])]
+
+
 def shift_event_keys(event: Sequence[str], rng: Optional[np.random.Generator] = None) -> List[List[str]]:
-    """Random transpositions by 5 of the shifts in [-5, 6] (non-4/4 path)."""
+    """Random transpositions by 5 of the shifts in [-5, 6] (non-4/4 path).
+
+    Conscious divergence: the reference (``create_dataset.py:638-665``)
+    transposes pitches but leaves the ``k_*`` label untouched, so every
+    augmented non-4/4 window carries the UNtransposed key (and its ``s_*``
+    tension labels are wrong relative to it).  Here the key token shifts
+    with the pitches — tensile strain is transposition-invariant when key
+    and pitches move together, so the rest of the annotation stays valid
+    (its sibling ``shift_event_keys_with_direction`` already did this).
+    """
     rng = rng or np.random.default_rng()
     out = []
     for shift in rng.choice(np.arange(-5, 7), 5, replace=False):
         if shift == 0:
             continue
-        out.append([
+        shifted = [
             _shift_pitch_token(t, int(shift)) if t.startswith("p_") and t[2:].isdigit() else t
             for t in event
-        ])
+        ]
+        if len(shifted) > 2 and shifted[2].startswith("k_"):
+            shifted[2] = _shift_key_token(shifted[2], int(shift))
+        out.append(shifted)
     return out
 
 
@@ -321,6 +341,7 @@ def build_file(
     augment: bool = False,
     add_bar: bool = True,
     seed: int = 0,
+    out_name: Optional[str] = None,
 ) -> Optional[str]:
     """One MIDI file -> tokenized song -> pickled window list on disk."""
     events = tokenize_file(midi_path)
@@ -335,12 +356,31 @@ def build_file(
     if not windows:
         return None
     os.makedirs(out_dir, exist_ok=True)
-    out_path = os.path.join(
-        out_dir, os.path.basename(midi_path).rsplit(".", 1)[0] + "_control"
-    )
+    out_path = os.path.join(out_dir, (out_name or _default_out_name(midi_path)))
     with open(out_path, "wb") as f:
         pickle.dump(windows, f)
     return out_path
+
+
+def _default_out_name(midi_path: str) -> str:
+    return os.path.basename(midi_path).rsplit(".", 1)[0] + "_control"
+
+
+def _unique_out_names(midi_files: Sequence[str]) -> List[str]:
+    """Deterministic per-file output names; same-basename files in
+    different subtrees (walk_midi recurses) get a path-hash suffix so
+    they cannot silently overwrite each other."""
+    import hashlib
+    from collections import Counter
+
+    counts = Counter(_default_out_name(f) for f in midi_files)
+    names = []
+    for f in midi_files:
+        name = _default_out_name(f)
+        if counts[name] > 1:
+            name += "_" + hashlib.sha1(f.encode()).hexdigest()[:8]
+        names.append(name)
+    return names
 
 
 def _fork_is_safe() -> bool:
@@ -384,8 +424,9 @@ def build_corpus(
         import multiprocessing as mp
         from concurrent.futures import ProcessPoolExecutor
 
+        out_names = _unique_out_names(midi_files)
         tasks = [
-            (f, out_dir, mode, augment, add_bar, i)
+            (f, out_dir, mode, augment, add_bar, i, out_names[i])
             for i, f in enumerate(midi_files)
         ]
         chunksize = max(1, len(tasks) // (n_jobs * 4))
@@ -402,7 +443,11 @@ def build_corpus(
             }
             os.environ["JAX_PLATFORMS"] = "cpu"
             try:
-                with ProcessPoolExecutor(max_workers=n_jobs) as pool:
+                # explicit spawn: the platform default is fork on Linux,
+                # which is exactly the UB this branch exists to avoid
+                with ProcessPoolExecutor(
+                    max_workers=n_jobs, mp_context=mp.get_context("spawn")
+                ) as pool:
                     results = list(
                         pool.map(_build_one, tasks, chunksize=chunksize)
                     )
@@ -413,16 +458,17 @@ def build_corpus(
                     else:
                         os.environ[k] = v
     else:
+        out_names = _unique_out_names(midi_files)
         results = [
-            _build_one((f, out_dir, mode, augment, add_bar, i))
+            _build_one((f, out_dir, mode, augment, add_bar, i, out_names[i]))
             for i, f in enumerate(midi_files)
         ]
     return [r for r in results if r]
 
 
 def _build_one(args) -> Optional[str]:
-    midi_path, out_dir, mode, augment, add_bar, seed = args
-    return build_file(midi_path, out_dir, mode, augment, add_bar, seed)
+    midi_path, out_dir, mode, augment, add_bar, seed, out_name = args
+    return build_file(midi_path, out_dir, mode, augment, add_bar, seed, out_name)
 
 
 def walk_midi(folder: str) -> List[str]:
@@ -463,8 +509,6 @@ def validate_event_data(
     returns a list of problem records instead of printing.
     """
     from ..codec.annotate import encode_midi
-    from ..codec.smer import remove_control_event
-    from ..vocab import CONTROL_TOKENS
 
     problems: List[Dict] = []
     for bi, batch in enumerate(batches):
@@ -472,7 +516,8 @@ def validate_event_data(
             events = list(events)
             n_bars = events.count("bar")
             record = {"batch": bi, "window": wi, "bars": n_bars}
-            score = events_to_midi(remove_control_event(events, CONTROL_TOKENS))
+            # events_to_midi strips control tokens itself (codec/smer.py)
+            score = events_to_midi(events)
             if score is None:
                 problems.append({**record, "error": "decode failed"})
                 continue

@@ -120,7 +120,11 @@ class MaskingPipeline:
         if not (self.config.bar_track_control and self.config.bar_control_at_end):
             return [i for i, t in enumerate(event) if t in self._control_set]
         # end-copy layout: a control counts if it directly follows a
-        # bar/track position or continues a control run started there
+        # bar/track position or continues a control run started there —
+        # header controls (k_* and the song d/o/y block) are deliberately
+        # NOT corrupted in this layout, matching the reference's anchored
+        # scan (dataset.py:204-216; its else-branch corrupts all controls
+        # for the other layouts, as below)
         arr = np.array(event)
         anchor = set()
         for name in track_names_of(event):

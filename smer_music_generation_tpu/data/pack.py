@@ -49,7 +49,15 @@ def pack_windows(
     windows: Sequence[Sequence[str]],
     max_token_length: int = MAX_TOKEN_LENGTH,
 ) -> Tuple[List[List[List[str]]], Dict[int, List[int]]]:
-    """Sort by length, dedup, greedy-pack; returns (groups, batch_lengths)."""
+    """Sort by length, dedup, greedy-pack; returns (groups, batch_lengths).
+
+    Parity notes (reference ``load_dataset.py:252-279``): dedup compares
+    ADJACENT entries after a length-only stable sort, so equal windows
+    separated by a different same-length window survive — as in the
+    reference; and the packing comparison is strict ``<``, so a group
+    total never reaches ``max_token_length`` exactly.  Both kept as-is:
+    packed pickles are byte-compared against recorded outputs in tests.
+    """
     items = [list(w) for w in windows]
     items.sort(key=len)
     deduped: List[List[str]] = []

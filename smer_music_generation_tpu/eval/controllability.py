@@ -38,7 +38,7 @@ from ..features.controls import (
     occupation_polyphony_rate,
 )
 from ..features.tension import score_tension
-from ..vocab import CONTROL_BINS, WordVocab, to_category
+from ..vocab import ALL_KEY_NAMES, CONTROL_BINS, WordVocab, to_category
 from ..infer.engine import TOTAL_TRACK_CONTROL_TYPES, InfillEngine
 
 
@@ -147,8 +147,13 @@ def _bar_track_parts(
     lead = list(events[track_start : track_start + TOTAL_TRACK_CONTROL_TYPES])
     trail_lo = track_end - tensile_end - TOTAL_TRACK_CONTROL_TYPES
     trail = list(events[trail_lo : track_end - tensile_end])
-    is_copy = len(trail) == TOTAL_TRACK_CONTROL_TYPES and all(
-        t == "unk" or t[:2] in ("d_", "o_", "y_") for t in trail
+    is_copy = (
+        len(trail) == TOTAL_TRACK_CONTROL_TYPES
+        # a control-mode-1 track with an EMPTY body is exactly K tokens:
+        # the trail slice re-reads the leading copies — require room for
+        # lead AND trail so leads are never reported as predictions
+        and trail_lo - track_start >= TOTAL_TRACK_CONTROL_TYPES
+        and all(t == "unk" or t[:2] in ("d_", "o_", "y_") for t in trail)
     )
     body_end = trail_lo if is_copy else track_end - tensile_end
     body = list(events[track_start + TOTAL_TRACK_CONTROL_TYPES : body_end])
@@ -315,12 +320,25 @@ class ControllabilityEvaluator:
         """Set s_* of the chosen bars, regenerate those whole bars."""
         result = EvalResult("tensile")
         events = list(events)
+        # achieved tension must be measured against the WINDOW's key, not a
+        # key re-detected from one regenerated bar (the reference passes
+        # [original_key_name], evaluation.py:1227,2310)
+        window_key = (
+            ALL_KEY_NAMES[int(events[2][2:])]
+            if len(events) > 2 and events[2].startswith("k_") and events[2][2:].isdigit()
+            else None
+        )
         _, bar_poses, bars_pos = bar_with_track_positions(events)
         for bar, value in zip(bars, new_values):
-            events[bar_poses[bar] + 1] = f"s_{value}"
+            # only substitute a real tensile slot: a stream built without
+            # tension controls has a track token at bar+1 and must not be
+            # structurally corrupted by a blind write
+            if events[bar_poses[bar] + 1].startswith("s_") or events[
+                bar_poses[bar] + 1
+            ] == "unk":
+                events[bar_poses[bar] + 1] = f"s_{value}"
         events = apply_unk_mode(events, self.vocab, self.unk_mode, mask_bars=list(bars))
         track_names = track_names_of(events)
-        all_tracks = list(range(len(track_names)))
         gen = self.engine(
             events, [int(n[-1]) for n in track_names], list(bars), rng,
             correct_controls=self._cc, span_retries=True,
@@ -335,7 +353,9 @@ class ControllabilityEvaluator:
         for bar, value in zip(bars, new_values):
             lo = out_bar_poses[bar]
             hi = out_bar_poses[bar + 1] if bar + 1 < len(out_bar_poses) else len(gen.events)
-            achieved = recompute_bar_tension(gen.events[lo + 1 : hi], headers)
+            achieved = recompute_bar_tension(
+                gen.events[lo + 1 : hi], headers, key_name=window_key
+            )
             if achieved is None:
                 result.failures += 1
             else:

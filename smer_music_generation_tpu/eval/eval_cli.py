@@ -53,6 +53,11 @@ def main(argv=None) -> int:
 
     groups, _ = load_batches(args.test_batches)
     windows = [[str(t) for t in w] for g in groups for w in g]
+    # same stream prep as training (MaskingPipeline.prepare_group): strip
+    # control families outside this model's vocab — a -t 2 model must not
+    # condition on o_/y_/s_ tokens it never saw
+    basic, ctrl = set(vocab.basic_tokens), set(vocab.control_tokens)
+    windows = [[t for t in w if t in basic or t in ctrl] for w in windows]
     if cfg.control_mode == 2:
         # stored windows carry leading copies only; a control-mode-2 model
         # was trained on streams with end-of-track duplication, so the eval
@@ -74,7 +79,15 @@ def main(argv=None) -> int:
         engine, vocab, unk_mode=args.unk_mode,
         correct_controls=args.correct_controls,
     )
-    results = evaluator.run(windows, seed=args.seed, max_windows=args.max_windows)
+    # only the control families this model was trained with are evaluable
+    active_kinds = [
+        k for k in ("tensile", "density", "occupation", "polyphony")
+        if k in vocab.class_names
+    ]
+    results = evaluator.run(
+        windows, control_kinds=active_kinds, seed=args.seed,
+        max_windows=args.max_windows,
+    )
     for k, v in results.items():
         if k == "time_stats":
             logger.info(

@@ -59,6 +59,22 @@ def test_shift_event_keys_moves_pitches(long_song_events):
             assert 21 <= int(t[2:]) <= 108
 
 
+def test_shift_event_keys_updates_key_token():
+    """Conscious divergence from the reference (create_dataset.py:638-665):
+    the random-shift augmentation must transpose the k_* label with the
+    pitches so augmented non-4/4 windows are not key-mislabeled."""
+    from smer_music_generation_tpu.vocab import ALL_KEY_NAMES, ALL_MAJOR_NAMES
+
+    base = ["3/4", "t_2", "k_0", "d_0", "o_0", "y_0", "i_0",
+            "bar", "s_0", "track_0", "p_60", "whole"]  # C major, one C note
+    majors = list(ALL_MAJOR_NAMES)
+    for s in shift_event_keys(base, np.random.default_rng(3)):
+        pitch = int(s[10][2:])
+        shift = pitch - 60
+        key = ALL_KEY_NAMES[int(s[2][2:])]
+        assert key == majors[shift % 12], (shift, key)
+
+
 def test_shift_with_direction_updates_key_token():
     # build a minimal C-minor-keyed window
     base = ["4/4", "t_2", "k_20", "d_0", "o_0", "y_0", "i_0",
@@ -68,6 +84,18 @@ def test_shift_with_direction_updates_key_token():
     for s in shifted:
         assert s[2].startswith("k_")
         assert s[2] != "k_20" or s == base
+
+
+def test_unique_out_names_disambiguates_basename_collisions():
+    from smer_music_generation_tpu.data.build import _unique_out_names
+
+    names = _unique_out_names(["a/song.mid", "b/song.mid", "c/other.mid"])
+    assert len(set(names)) == 3
+    assert names[2] == "other_control"  # unique basenames stay clean
+    assert names[0] != names[1]
+    assert names[0].startswith("song_control_")
+    # deterministic across calls
+    assert names == _unique_out_names(["a/song.mid", "b/song.mid", "c/other.mid"])
 
 
 def test_build_file_roundtrip(tmp_path):

@@ -165,6 +165,21 @@ def test_bar_track_parts(vocab, mode2_events):
     assert s_tok1 is not None and s_tok1.startswith("s_")
 
 
+def test_bar_track_parts_empty_body_mode1():
+    """A control-mode-1 track with an empty body is exactly K lead tokens;
+    the trail heuristic must NOT re-read the leads as at-end predictions."""
+    from smer_music_generation_tpu.eval.controllability import _bar_track_parts
+
+    events = ["4/4", "t_2", "k_0", "d_0", "o_0", "y_0", "i_0", "i_1",
+              "bar", "s_0",
+              "track_0", "d_1", "o_1", "y_1",           # empty body, no copies
+              "track_1", "d_2", "o_2", "y_2", "p_60", "whole"]
+    bars = [[(11, 14), (15, 20)]]  # (start-after-name, end) per track
+    lead, body, trail, s_tok = _bar_track_parts(events, bars[0], 0)
+    assert lead == ["d_1", "o_1", "y_1"]
+    assert body == [] and trail is None and s_tok is None
+
+
 def test_evaluator_track_secondary_families(vocab, mode2_events, tiny_engine):
     """Track runs report the reference's extra diff families
     (evaluation.py:2546-2813) and time-repair stats (:1319-1328)."""
