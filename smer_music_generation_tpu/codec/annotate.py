@@ -189,7 +189,7 @@ def add_control_events(
         bar_track_pos = [i + 1 for i, e in enumerate(events) if e == name]
         total_insert = 0
         for i, pos in enumerate(bar_track_pos):
-            if i > len(bar_densities[name]):
+            if i >= len(bar_densities[name]):
                 events.insert(pos + total_insert, "d_0")
                 all_controls["bar_density"][name].append(0)
             else:
@@ -276,7 +276,11 @@ def encode_midi(
             if res:
                 tensiles, diameters, _, _ = res
             else:
-                tensiles, key = "", ""
+                # the reference falls through with tensiles='' and crashes
+                # on bar_pos[0] of an emptied array (encode.py:1399,1503);
+                # a degenerate window (e.g. all notes filtered) gets a
+                # clean None here instead
+                return None
         else:
             tensiles = controls["tensile"]
     else:
@@ -304,7 +308,14 @@ def encode_midi(
         file_events = file_events[: bar_pos[total_bars]]
         bar_pos = bar_pos[:total_bars]
     if total_bars < 16:
-        file_events = file_events[: bar_pos[total_bars + 1] if total_bars + 1 < len(bar_pos) else len(file_events)]
+        if total_bars == 0:
+            return None
+        # truncate to exactly total_bars bars so the stream matches the
+        # tensile list.  The reference keeps one extra bar
+        # (bar_pos[total_bars + 1], encode.py:1496) and would then crash
+        # inserting tensiles[total_bars]; data/build.py's corpus path
+        # already truncates this way.
+        file_events = file_events[: bar_pos[total_bars] if total_bars < len(bar_pos) else len(file_events)]
         bar_pos = bar_pos[:total_bars]
 
     return add_control_events(

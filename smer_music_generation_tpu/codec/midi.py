@@ -481,6 +481,9 @@ def read_midi(path: str) -> MidiScore:
                     stream.append((tick, ch, "program", d1, 0))
         note_streams.append(stream)
 
+    # tempo metas can live in any track of a format-1 file: sort before
+    # the piecewise accumulation below, which assumes ascending ticks
+    tempo_events.sort(key=lambda e: e[0])
     if not tempo_events or tempo_events[0][0] != 0:
         tempo_events.insert(0, (0, 120.0))
 

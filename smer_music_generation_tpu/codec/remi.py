@@ -166,6 +166,10 @@ def smer_to_remi(events: Sequence[str]) -> List[str]:
     def close_body():
         nonlocal body_tokens, body_key
         if body_key is None:
+            # tokens accumulated with no open body (degenerate input, e.g.
+            # body tokens after a mid-body control) must not leak into the
+            # next track's body
+            body_tokens = []
             return
         groups, cont_groups = _parse_body(body_tokens)
         bar_i, track = body_key

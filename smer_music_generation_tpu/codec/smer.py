@@ -29,7 +29,6 @@ Documented conscious divergences from the reference (SURVEY.md §2.6):
 
 from __future__ import annotations
 
-import re
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -50,9 +49,6 @@ SUPPORTED_SIGNATURES = [(4, 4), (2, 4), (3, 4), (6, 8)]
 SERVING_VELOCITIES = (V0, V1)
 CORPUS_VELOCITIES = (V0, V1, V2)
 
-_TRACK_RE = re.compile(r"track_\d")
-_PROGRAM_RE = re.compile(r"i_\d")
-_PITCH_RE = re.compile(r"p_(\d+)")
 # exact token -> pitch map (all pitches the vocab can emit); avoids a
 # regex fullmatch per body token in the events_to_midi hot loop
 _PITCH_LOOKUP = {f"p_{i}": i for i in range(128)}
@@ -125,7 +121,12 @@ def _flush_chord_group(
     newly struck notes; if both kinds are present they are separated by
     ``sep`` carrying the continuation group's duration (reference
     ``encode.py:991-1051``).  Adjacent duplicate pitches are removed,
-    keeping the later (newly struck) one.
+    keeping the later (newly struck) one.  Parity note: ADJACENT-only by
+    design — a pitch in both the continuation and new-strike groups
+    survives twice when other pitches interleave (e.g. continues [60,64]
+    + strikes [60,62]), exactly as the reference's ``remove_pos`` scan
+    behaves (``encode.py:1007-1012``); token-exact parity wins over the
+    cleaner global dedup.
     """
     continues = sorted((n for n in chord_list if n.velocity == -1), key=lambda n: n.pitch)
     others = sorted((n for n in chord_list if n.velocity != -1), key=lambda n: n.pitch)
@@ -292,8 +293,18 @@ def _prepare_beats(score: MidiScore) -> Tuple[np.ndarray, np.ndarray]:
         down_beats = np.array([down_beats[0], down_beats[0] + bar_time])
     if beats[-1] >= down_beats[-1]:
         down_beats = np.append(down_beats, down_beats[-1] + down_beats[-1] - down_beats[-2])
-    while not abs(down_beats[-1] - beats[-1]) < 1e-4:
-        beats = np.append(beats, beats[-1] + beats[-1] - beats[-2])
+    # extend beats up to the appended downbeat.  The step must TERMINATE
+    # even when the last beat interval does not evenly divide the gap
+    # (e.g. a tempo change just before the end): overshooting steps snap
+    # to the downbeat instead of looping forever past it.
+    while beats[-1] < down_beats[-1] - 1e-4:
+        step = beats[-1] - beats[-2]
+        if step <= 1e-6:
+            step = beat_len
+        nxt = beats[-1] + step
+        if nxt > down_beats[-1] - 1e-4:
+            nxt = down_beats[-1]
+        beats = np.append(beats, nxt)
     return beats, down_beats
 
 
@@ -375,10 +386,13 @@ def midi_to_events_window(
                 events.append("rest")
                 events.extend(table.time_to_names(table.bar_duration))
                 continue
-            if bar == 15:
-                beat_in_this_bar = beats[dbi[bar] : dbi[bar] + beat_in_bar + 1]
-            else:
+            if bar != 15 and bar + 1 < len(dbi):
                 beat_in_this_bar = beats[dbi[bar] : dbi[bar + 1] + 1]
+            else:
+                # bar 15 (reference encode.py:1281-1282) — or the final
+                # bar of a short (< 16-bar) song, where dbi[bar + 1] does
+                # not exist: take one bar's worth of beats instead
+                beat_in_this_bar = beats[dbi[bar] : dbi[bar] + beat_in_bar + 1]
             if continue_note_dict:
                 bar_notes = list(continue_note_dict.values()) + bar_notes
             bar_events, continue_note_dict = tokenize_bar(

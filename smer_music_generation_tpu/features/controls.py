@@ -134,18 +134,6 @@ def bar_track_occupation_polyphony_rate(
         return -1.0, -1.0
 
 
-def _piano_roll_fs(score: MidiScore, fs: float) -> np.ndarray:
-    end_time = score.get_end_time()
-    rolls = [i.get_piano_roll(fs=fs, end_time=end_time) for i in score.instruments]
-    if not rolls:
-        return np.zeros((128, 0))
-    n = max(r.shape[1] for r in rolls)
-    out = np.zeros((128, n))
-    for r in rolls:
-        out[:, : r.shape[1]] += r
-    return out
-
-
 def pitch_register(track_events: Dict[str, List[Sequence[str]]]) -> List[int]:
     """Mean pitch register per track, binned to 8 classes over 21..108."""
     registers = []

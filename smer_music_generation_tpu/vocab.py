@@ -211,7 +211,9 @@ class WordVocab:
         self._register("duration", self.duration_indices)
         self.token_class_ranges[self.eos_index] = "eos"
         self.token_class_ranges[self.unk_index] = "unk"
-        self.name_to_tokens["eos"] = self._idx2char[self.eos_index]
+        # a LIST like every other name_to_tokens entry (a bare string
+        # makes `tok in name_to_tokens['eos']` match single characters)
+        self.name_to_tokens["eos"] = [self._idx2char[self.eos_index]]
 
         family_tokens = {
             "key": KEY_TOKENS,

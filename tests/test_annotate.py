@@ -130,3 +130,17 @@ def test_encode_midi_6_8():
     assert "whole" not in events
     vocab = WordVocab(0, CONTROL_SETS[5])
     vocab.encode(events)
+
+
+def test_encode_midi_degenerate_window_returns_none():
+    """A window whose notes are all filtered (tension fails under a
+    user-supplied key) must return None, not crash on an emptied bar_pos
+    (the reference falls through with tensiles='' — encode.py:1399)."""
+    from smer_music_generation_tpu.codec.annotate import encode_midi
+
+    s = MidiScore(initial_tempo=100)
+    s.time_signature_changes = [TimeSignature(4, 4, 0.0)]
+    inst = Instrument(program=0)
+    inst.notes.append(Note(100, 120, 0.0, 0.2))  # out-of-range pitch
+    s.instruments.append(inst)
+    assert encode_midi(s, controls={"key": "C major"}, track_names=["track_0"]) is None

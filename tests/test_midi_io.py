@@ -125,3 +125,45 @@ def test_piano_roll_to_score():
     assert notes[0].pitch == 60 and abs(notes[0].start - 0.2) < 1e-9
     assert abs(notes[0].end - 0.6) < 1e-9
     assert notes[1].pitch == 64 and notes[1].velocity == 90
+
+
+def test_read_midi_sorts_tempo_events_across_tracks(tmp_path):
+    """Tempo metas can live in any track of a format-1 file; the piecewise
+    tick->time map must see them in ascending tick order or note times go
+    wrong (a negative segment) silently."""
+    import struct
+
+    def vlq(n):
+        out = [n & 0x7F]
+        n >>= 7
+        while n:
+            out.insert(0, 0x80 | (n & 0x7F))
+            n >>= 7
+        return bytes(out)
+
+    def tempo_meta(dt, qpm):
+        us = int(60_000_000 / qpm)
+        return vlq(dt) + bytes([0xFF, 0x51, 0x03]) + us.to_bytes(3, "big")
+
+    res = 480
+    tr0 = tempo_meta(0, 120) + tempo_meta(1920, 240) + vlq(0) + bytes([0xFF, 0x2F, 0x00])
+    tr1 = (
+        tempo_meta(960, 60)  # out-of-order relative to track 0's 1920
+        + vlq(2880) + bytes([0x90, 60, 100])
+        + vlq(480) + bytes([0x80, 60, 0])
+        + vlq(0) + bytes([0xFF, 0x2F, 0x00])
+    )
+
+    def chunk(tag, data):
+        return tag + struct.pack(">I", len(data)) + data
+
+    smf = (chunk(b"MThd", struct.pack(">HHH", 1, 2, res))
+           + chunk(b"MTrk", tr0) + chunk(b"MTrk", tr1))
+    path = str(tmp_path / "tempo_sort.mid")
+    open(path, "wb").write(smf)
+
+    score = read_midi(path)
+    note = score.instruments[0].notes[0]
+    # 0-960t @120, 960-1920t @60, 1920-3840t @240
+    expect = 960 * 60 / 120 / res + 960 * 60 / 60 / res + 1920 * 60 / 240 / res
+    assert abs(note.start - expect) < 1e-6

@@ -230,3 +230,38 @@ def test_filter_empty_bars():
     assert out == ["4/4", "100", "i_0", "bar", "track_0", "p_60", "whole"]
     # already-filled first bar: unchanged
     assert filter_empty_bars(out) == out
+
+
+def test_prepare_beats_terminates_on_uneven_tempo_tail():
+    """A tempo change just before the end makes the last beat interval not
+    divide the gap to the appended downbeat: the extension loop must snap
+    to the downbeat instead of looping forever (pre-fix: infinite loop)."""
+    from smer_music_generation_tpu.codec.smer import _prepare_beats
+
+    s = MidiScore(initial_tempo=120)
+    s.time_signature_changes = [TimeSignature(4, 4, 0.0)]
+    s.set_tempo_changes([(0.0, 120.0), (3.3, 100.0)])
+    inst = Instrument(program=0)
+    inst.notes.append(Note(90, 60, 0.0, 3.5))
+    s.instruments.append(inst)
+    beats, down_beats = _prepare_beats(s)
+    assert abs(beats[-1] - down_beats[-1]) < 1e-4
+    assert len(beats) < 64  # bounded
+
+
+def test_window_tokenizer_short_song_last_bar():
+    """A < 16-bar song whose final note starts near the appended last
+    downbeat must tokenize (pre-fix: IndexError on dbi[bar + 1])."""
+    from smer_music_generation_tpu.codec.smer import midi_to_events_window
+
+    s = MidiScore(initial_tempo=120)
+    s.time_signature_changes = [TimeSignature(4, 4, 0.0)]
+    inst = Instrument(program=0)
+    for bar in range(4):
+        inst.notes.append(Note(90, 60 + bar, bar * 2.0, bar * 2.0 + 1.0))
+    inst.notes.append(Note(90, 72, 7.97, 8.0))  # within md of downbeat 8.0
+    s.instruments.append(inst)
+    res = midi_to_events_window(s, ["track_0"])
+    assert res is not None
+    events = res[0] if isinstance(res, tuple) else res
+    assert events.count("bar") == 16  # padded window
