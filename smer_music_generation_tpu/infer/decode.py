@@ -128,8 +128,9 @@ class InfillDecoder:
                 "token_chunk > 1 (kernel looping) requires the fused-sampling "
                 "kernel path"
             )
+        # one wrapper serves both call shapes: jax.jit caches per
+        # signature, so forced and unforced calls compile separately anyway
         self._decode_jit = jax.jit(self._decode, static_argnames=("self",))
-        self._decode_forced_jit = jax.jit(self._decode, static_argnames=("self",))
 
     # -- public API -----------------------------------------------------
     def __call__(
@@ -163,7 +164,7 @@ class InfillDecoder:
             fl = np.asarray(forced_len, np.int32)
             forced = np.asarray(forced, np.int32)
             f[:, : forced.shape[1]] = forced[:, : self.max_tgt_len]
-            return self._decode_forced_jit(
+            return self._decode_jit(
                 self, params, src, span_types, n_spans,
                 jnp.asarray(no_whole_duration), rng,
                 jnp.asarray(f), jnp.asarray(fl),
@@ -225,6 +226,13 @@ class InfillDecoder:
             cross_len = jnp.sum(~src_pad, axis=1).astype(jnp.int32)
             if self.fused_sampling:
                 if self.mesh is not None and dp > 1:
+                    if self.token_chunk > 1:
+                        warnings.warn(
+                            "token_chunk > 1 (kernel looping) is not "
+                            "implemented for the dp-sharded fused path; "
+                            "decoding with single-token steps",
+                            stacklevel=2,
+                        )
                     return InfillDecoder._decode_v3_sharded(
                         self, t, cfg, packed, cross_kv, cross_len,
                         span_types, n_spans, no_whole, rng, B, L,
@@ -493,22 +501,7 @@ class InfillDecoder:
         else:
             noise = jax.random.gumbel(rng, (Lp, B, vpad), dtype=jnp.float32)
         out = jnp.zeros((B, Lp), jnp.int32).at[:, 0].set(t.mask_index)
-        state0 = jnp.stack(
-            [
-                jnp.full((B,), t.mask_index, jnp.int32),  # ST_TOKEN
-                jnp.zeros((B,), jnp.int32),  # ST_BITS
-                jnp.ones((B,), jnp.int32),  # ST_STEPS
-                jnp.zeros((B,), jnp.int32),  # ST_SPAN
-                (n_spans <= 0).astype(jnp.int32),  # ST_DONE
-                jnp.ones((B,), jnp.int32),  # ST_LEN
-            ]
-        )
-        aux = jnp.stack(
-            [
-                n_spans.astype(jnp.int32),
-                jnp.broadcast_to(jnp.asarray(no_whole), (B,)).astype(jnp.int32),
-            ]
-        )
+        state0, aux = self._v3_state0(t, n_spans, no_whole, B)
         cache = jnp.zeros(
             (cfg.num_decoder_layers, B, Lp, 2 * cfg.d_model), cfg.dtype
         )
@@ -549,7 +542,12 @@ class InfillDecoder:
         lengths = jnp.minimum(state[ST_LEN], L)
         valid = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1) < lengths[:, None]
         out = jnp.where(valid, out, 0)[:, :L]
-        return DecodeResult(tokens=out, lengths=lengths, steps=pos)
+        # pos advances in T_chunk increments and can overshoot a mid-chunk
+        # finish by T_chunk-1; derive steps from the longest element's
+        # emitted count (== v3's loop-iteration count, which satisfies
+        # max(ST_LEN) == pos + 1 when the cap is not hit)
+        steps = jnp.maximum(jnp.max(lengths) - 1, 0)
+        return DecodeResult(tokens=out, lengths=lengths, steps=steps)
 
 
 def pad_to_bucket(

@@ -405,7 +405,12 @@ class InfillEngine:
         no_whole_duration = not (numerator >= 4 and denominator == 4)
 
         track_names = track_names_of(events)
-        track_ids = [track_names.index(f"track_{t}") for t in tracks_to_generate]
+        try:
+            track_ids = [track_names.index(f"track_{t}") for t in tracks_to_generate]
+        except ValueError:
+            # a requested track does not exist in this stream: unfillable
+            # request -> None, like every other invalid-request path
+            return None
 
         # mask_bar_and_track expects the control-mode-2 serving layout
         # (trailing d/o/y copies + bar-end tensile).  Stored dataset windows
@@ -1134,6 +1139,10 @@ class InfillEngine:
                     continue
                 body = out[body_start:body_end]
                 ok, fixed = check_track_total_time(body, table)
-                if not ok:
+                # adopt the repaired body whenever it differs — the
+                # reference assigns the returned list unconditionally
+                # (evaluation.py:1304); ok only gates retries.  An exact
+                # close can still trim a dangling terminator token.
+                if not ok or fixed != body:
                     out[body_start:body_end] = fixed
         return out

@@ -44,7 +44,11 @@ def masked_sample(
     )
     keep = above < p
     filtered = jnp.where(keep, probs, 0.0)
-    choice = jax.random.categorical(rng, jnp.log(filtered + 1e-12), axis=-1)
+    # hard -inf for zeroed tokens: banned/out-of-nucleus mass must be
+    # EXACTLY 0 (log(eps) would leave ~1e-12 sampleable probability,
+    # breaking distribution-identity with masked_sample_gumbel)
+    logp = jnp.where(filtered > 0, jnp.log(jnp.maximum(filtered, 1e-38)), NEG_INF)
+    choice = jax.random.categorical(rng, logp, axis=-1)
     return choice.astype(jnp.int32)
 
 

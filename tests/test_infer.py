@@ -757,6 +757,27 @@ def test_in_decode_correct_controls(vocab, mode2_events, tiny_engine):
     assert checked == len(result.mask_bars) > 0
 
 
+def test_repair_adopts_trimmed_body_on_exact_close(vocab, tiny_engine):
+    """An exactly-closing body with ONE dangling non-duration token
+    returns ok=True (no retry needed, reference semantics) but the
+    repair pass must still adopt the trimmed body — the reference assigns
+    the returned list unconditionally (evaluation.py:1304)."""
+    from smer_music_generation_tpu.codec.durations import duration_table_for_signature
+    from smer_music_generation_tpu.infer.engine import check_track_total_time
+
+    table = duration_table_for_signature((4, 4), tempo=60.0)
+    ok, fixed = check_track_total_time(["rest", "whole", "p_60"], table)
+    assert ok  # closes exactly: no regeneration retry
+    assert fixed == ["rest", "whole"]  # dangling pitch trimmed
+
+    # the full repair pass adopts the trim even though ok was True
+    events = ["4/4", "t_3", "k_0", "d_2", "o_2", "y_2", "i_0",
+              "bar", "s_2", "track_0", "d_2", "o_2", "y_2",
+              "rest", "whole", "p_60"]
+    out = tiny_engine._repair_durations(events, table)
+    assert out == events[:-1]
+
+
 def test_correct_controls_degenerate_request(vocab, tiny_engine):
     """A request with zero spans (run_batch's padding dummies) returns
     None instead of raising while parsing the header."""
