@@ -7,8 +7,14 @@ conditions on actually VARIES and CORRELATES with the content:
 
 * key        — each song is diatonic in a sampled major/minor key, so the
                key-vote annotates varied ``k_*`` tokens;
-* density    — per-track note-rate parameter sampled per song (d bins);
-* occupation — rest probability per track (o bins);
+* density    — per-track target ONSET rate (onsets per 16th slot) drives
+               the rhythmic subdivision: high-rate tracks play 16th-note
+               runs, low-rate tracks hold long notes.  Onset rate — not
+               note-duration re-emission — is what the density metric
+               counts after REMI tie-merging, so the d bins populate in
+               BOTH encodings (round-2 finding: duration-only variation
+               left REMI density collapsed in bins 0-2);
+* occupation — per-track bar-coverage fraction + whole-bar rests (o bins);
 * polyphony  — chord probability per track (y bins);
 * tensile    — chord-root distance from the tonal center varies per bar
                (phrase arcs move to the subdominant/dominant and back).
@@ -57,6 +63,25 @@ def bar_seconds(sig, quarter):
     return num * quarter if den == 4 else num * quarter / 2
 
 
+def tile_lengths(r_in: float):
+    """Note-length palette (in 16th slots) whose mean is ~1/r_in.
+
+    Contiguous tiling of the occupied span with these lengths yields an
+    onset rate of ~r_in within that span (so measured density ~
+    r_in * occupied fraction), without opening gaps that would corrupt
+    the occupation measurement.
+    """
+    if r_in > 0.75:
+        return [1, 1, 1, 2]
+    if r_in > 0.45:
+        return [1, 2, 2, 4]
+    if r_in > 0.28:
+        return [2, 4, 4, 8]
+    if r_in > 0.15:
+        return [4, 8, 8]
+    return [8, 16]
+
+
 def make_song(rng: np.random.Generator) -> MidiScore:
     tempo = float(rng.choice(TEMPI))
     sig = SIGS[int(rng.integers(len(SIGS)))]
@@ -74,7 +99,7 @@ def make_song(rng: np.random.Generator) -> MidiScore:
 
     n_tracks = int(rng.choice([1, 2, 3], p=[0.2, 0.45, 0.35]))
     # per-song control parameters (these become the d/o/y annotation bins)
-    densities = rng.uniform(0.25, 0.95, size=3)
+    rates = rng.uniform(0.05, 0.98, size=3)  # target onsets per 16th slot
     chord_probs = rng.uniform(0.0, 0.6, size=3)
     rest_probs = rng.uniform(0.0, 0.45, size=3)
     # per-track bar-coverage fraction: notes only occupy the first
@@ -82,6 +107,18 @@ def make_song(rng: np.random.Generator) -> MidiScore:
     # dynamic range across songs (round-2 eval finding: whole-bar motifs
     # cluster occupation in the top bins and the control can't steer)
     occ_fracs = rng.uniform(0.3, 1.0, size=3)
+    # Keep dense multi-track 16-bar windows under the 2200-token packing
+    # cap (reference load_dataset.py:264 drops longer windows, which
+    # would silently re-compress the high density bins): scale the
+    # combined onset-rate budget instead of losing the window.
+    budget = {1: 0.98, 2: 1.55, 3: 1.9}[n_tracks]
+    total_rate = float(rates[:n_tracks].sum())
+    if total_rate > budget:
+        rates = rates * (budget / total_rate)
+
+    def rate_in_span(t: int) -> float:
+        """Onset rate needed WITHIN the occupied span to hit rates[t]."""
+        return float(np.clip(rates[t] / occ_fracs[t], 0.05, 1.0))
 
     def scale_pitch(degree: int, octave: int) -> int:
         return int(np.clip(tonic + 12 * octave + scale[degree % 7], 21, 108))
@@ -91,19 +128,17 @@ def make_song(rng: np.random.Generator) -> MidiScore:
     motif_bars_n = int(rng.choice([1, 2]))
     motif_len = n_slots * motif_bars_n
     occ_slots = max(2, int(round(n_slots * occ_fracs[0])))
+    palette = tile_lengths(rate_in_span(0))
     motif = []  # (slot, length, degree_offset) triples
     slot = 0
     while slot < motif_len:
         if slot % n_slots >= occ_slots:  # rest out the bar tail
             slot = (slot // n_slots + 1) * n_slots
             continue
-        if rng.random() < densities[0]:
-            length = int(rng.choice([1, 2, 2, 4, 4, 8]))
-            length = min(length, occ_slots - slot % n_slots, motif_len - slot)
-            motif.append((slot, length, int(rng.integers(-3, 6))))
-            slot += length
-        else:
-            slot += 1
+        length = int(rng.choice(palette))
+        length = max(1, min(length, occ_slots - slot % n_slots, motif_len - slot))
+        motif.append((slot, length, int(rng.integers(-3, 6))))
+        slot += length
     base_degree = int(rng.integers(0, 7))
     motif_bars = motif_len // n_slots
     for bar in range(bars):
@@ -132,34 +167,29 @@ def make_song(rng: np.random.Generator) -> MidiScore:
     # -- bass: root/fifth on strong beats -------------------------------
     if n_tracks >= 2:
         bass = Instrument(program=int(rng.choice([32, 33, 35])))
-        half = max(n_slots // 2, 1)
+        r_b = rate_in_span(1)
+        pulse = min([1, 2, 4, 8, 16], key=lambda L: abs(L - 1.0 / r_b))
         for bar in range(bars):
             if rng.random() < rest_probs[1]:
                 continue
             chord_root = prog[(bar // max(motif_bars, 1)) % len(prog)]
             t = bar * bdur
             occ_b = max(2, int(round(n_slots * occ_fracs[1])))
-            pattern = rng.random()
-            if pattern < densities[1] * 0.6 and occ_b >= 4:
-                # walking: root, fifth alternating over the occupied span
-                h = occ_b // 2
-                bass.notes.append(
-                    Note(100, scale_pitch(chord_root, 2), t, t + h * sixteenth)
-                )
-                bass.notes.append(
-                    Note(100, scale_pitch(chord_root + 4, 2),
-                         t + h * sixteenth, t + 2 * h * sixteenth)
-                )
-            else:
-                bass.notes.append(
-                    Note(100, scale_pitch(chord_root, 2), t, t + occ_b * sixteenth)
-                )
+            # pulse tiling of the occupied span, root/fifth alternating:
+            # onset rate within the span is 1/pulse ~ r_b
+            for i, p0 in enumerate(range(0, occ_b, pulse)):
+                deg = chord_root if i % 2 == 0 else chord_root + 4
+                st = t + p0 * sixteenth
+                en = st + min(pulse, occ_b - p0) * sixteenth
+                bass.notes.append(Note(100, scale_pitch(deg, 2), st, en))
         if bass.notes:
             s.instruments.append(bass)
 
     # -- accompaniment: block chords / arpeggios ------------------------
     if n_tracks >= 3:
         accomp = Instrument(program=int(rng.choice([48, 0, 25])))
+        r_a = rate_in_span(2)
+        step = min([1, 2, 4, 8], key=lambda L: abs(L - 1.0 / r_a))
         for bar in range(bars):
             if rng.random() < rest_probs[2]:
                 continue
@@ -167,21 +197,27 @@ def make_song(rng: np.random.Generator) -> MidiScore:
             t = bar * bdur
             occ_a = max(2, int(round(n_slots * occ_fracs[2])))
             triad = [chord_root, chord_root + 2, chord_root + 4]
-            if rng.random() < chord_probs[2] + 0.3:
-                # block chord held over the occupied span
+            if r_a < 0.12:
+                # block chord held over the occupied span (ONE onset group:
+                # the density metric counts chords once, so low-rate
+                # accompaniment stays in the bottom density bins while the
+                # chord keeps the polyphony axis populated)
                 for d in triad:
                     accomp.notes.append(
                         Note(100, scale_pitch(d, 3), t, t + occ_a * sixteenth)
                     )
             else:
-                # arpeggio at eighth notes over the occupied span
-                step = 2
+                # arpeggio at `step` 16ths over the occupied span; a dyad
+                # is stacked on an onset with chord_prob (polyphony axis)
                 for i, slot2 in enumerate(range(0, occ_a, step)):
                     d = triad[i % 3]
                     st = t + slot2 * sixteenth
-                    accomp.notes.append(
-                        Note(100, scale_pitch(d, 3), st, st + step * sixteenth)
-                    )
+                    en = st + min(step, occ_a - slot2) * sixteenth
+                    accomp.notes.append(Note(100, scale_pitch(d, 3), st, en))
+                    if rng.random() < chord_probs[2]:
+                        accomp.notes.append(
+                            Note(100, scale_pitch(d + 2, 3), st, en)
+                        )
         if accomp.notes:
             s.instruments.append(accomp)
     return s
