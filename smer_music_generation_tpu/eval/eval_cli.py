@@ -34,6 +34,10 @@ def main(argv=None) -> int:
                         help="in-decode use_correct_control substitution "
                         "(reference evaluation.py:1217-1288)")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--max_time_fix_attempts", type=int, default=10,
+                        help="per-group bar-duration regeneration budget "
+                        "(reference evaluation.py:1300-1397); 0 = single "
+                        "decode per window (fast smoke evals)")
     args = parser.parse_args(argv)
 
     from ..utils.cache import enable_persistent_cache
@@ -74,7 +78,10 @@ def main(argv=None) -> int:
         ]
     logger.info(f"{len(windows)} test windows")
 
-    engine = InfillEngine(model, params, vocab)
+    engine = InfillEngine(
+        model, params, vocab,
+        max_time_fix_attempts=args.max_time_fix_attempts,
+    )
     evaluator = ControllabilityEvaluator(
         engine, vocab, unk_mode=args.unk_mode,
         correct_controls=args.correct_controls,

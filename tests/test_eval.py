@@ -266,3 +266,48 @@ def test_apply_unk_mode_trailing_copies(vocab, mode2_events):
     _, _, bars3 = bar_with_track_positions(out3)
     lead3, _, trail3, _ = _bar_track_parts(out3, bars3[0], 0)
     assert lead3 == ["unk"] * 3 and trail3 == ["unk"] * 3
+
+
+def test_eval_cli_end_to_end(tmp_path):
+    """eval_cli.main on a tiny random-weight model over one stored window:
+    config load, control-family stripping, mode-2 end-copy insertion, all
+    four control-axis decodes, and the output JSON schema.
+    ``--max_time_fix_attempts 0`` = one decode per (window, kind)."""
+    import json
+
+    from smer_music_generation_tpu.data.pack import save_batches
+    from smer_music_generation_tpu.eval import eval_cli
+    from smer_music_generation_tpu.utils.config import ExperimentConfig
+    from tests.test_annotate import make_two_track_score
+    from smer_music_generation_tpu.codec.annotate import encode_midi
+
+    score = make_two_track_score()
+    # leading-copies-only stream, the stored-window format the CLI loads
+    events, _ = encode_midi(
+        score, controls={"key": None}, track_names=["track_0", "track_1"]
+    )
+    window = [str(t) for t in events]
+    prefix = str(tmp_path / "tiny_test")
+    save_batches([[window]], {len(window): [0]}, prefix)
+
+    cfg = ExperimentConfig(d_model=32, nhead=4, num_layers=1, d_ff=64)
+    cfg_path = str(tmp_path / "config.json")
+    cfg.save(cfg_path)
+
+    out = str(tmp_path / "eval.json")
+    rc = eval_cli.main([
+        "--config", cfg_path, "--test_batches", prefix,
+        "--max_windows", "1", "--seed", "0", "--output", out,
+        "--max_time_fix_attempts", "0",
+    ])
+    assert rc == 0
+    with open(out) as f:
+        results = json.load(f)
+    assert "time_stats" in results
+    kinds = [k for k in ("tensile", "density", "occupation", "polyphony")
+             if k in results]
+    assert set(kinds) == {"tensile", "density", "occupation", "polyphony"}
+    assert any(results[k]["n"] >= 1 for k in kinds)
+    for k in kinds:
+        if results[k]["n"]:
+            assert results[k]["mean_abs_diff"] >= 0
