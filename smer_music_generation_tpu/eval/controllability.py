@@ -221,28 +221,31 @@ def apply_unk_mode(
         for bar_i, tracks_in_bar in enumerate(bars):
             if mask_bars is not None and bar_i not in mask_bars:
                 continue
-            for track_pos, (track_start, _) in enumerate(tracks_in_bar):
+            for track_pos, (track_start, track_end) in enumerate(tracks_in_bar):
                 if (
                     mask_bars is None
                     and mask_tracks is not None
                     and track_pos not in mask_tracks
                 ):
                     continue
-                for k in range(TOTAL_TRACK_CONTROL_TYPES + 1):
-                    if out[track_start + k] in blankable:
-                        out[track_start + k] = "unk"
+                # a truncated final track can be shorter than the control head
+                hi = min(track_start + TOTAL_TRACK_CONTROL_TYPES + 1, track_end)
+                for i in range(track_start, hi):
+                    if out[i] in blankable:
+                        out[i] = "unk"
         return out
     # unk_mode == 1
     if selected_kind is None or mask_tracks is None:
         return out
     kind_tokens = set(vocab.name_to_tokens.get(selected_kind, []))
     for tracks_in_bar in bars:
-        for track_pos, (track_start, _) in enumerate(tracks_in_bar):
+        for track_pos, (track_start, track_end) in enumerate(tracks_in_bar):
             if track_pos not in mask_tracks:
                 continue
-            for k in range(TOTAL_TRACK_CONTROL_TYPES + 1):
-                if out[track_start + k] in kind_tokens:
-                    out[track_start + k] = "unk"
+            hi = min(track_start + TOTAL_TRACK_CONTROL_TYPES + 1, track_end)
+            for i in range(track_start, hi):
+                if out[i] in kind_tokens:
+                    out[i] = "unk"
     return out
 
 

@@ -268,6 +268,26 @@ def test_apply_unk_mode_trailing_copies(vocab, mode2_events):
     assert lead3 == ["unk"] * 3 and trail3 == ["unk"] * 3
 
 
+def test_apply_unk_mode_truncated_final_track(vocab, mode2_events):
+    """A window truncated mid-track (common for REMI streams cut at the
+    token budget) must not index past the stream: modes 1/2 blank only the
+    control tokens actually present in the short track slice."""
+    events, _ = mode2_events
+    _, _, bars = bar_with_track_positions(events)
+    last_start, _ = bars[-1][-1]
+    cut = list(events[: last_start + 1])  # 1-token body < control head
+
+    out2 = apply_unk_mode(list(cut), vocab, 2, mask_tracks=[0, 1])
+    assert len(out2) == len(cut)
+    assert out2[last_start] == "unk"  # the one present copy is blanked
+
+    out1 = apply_unk_mode(
+        list(cut), vocab, 1, mask_tracks=[0, 1], selected_kind="density"
+    )
+    assert len(out1) == len(cut)
+    assert out1[last_start] == "unk"
+
+
 def test_eval_cli_end_to_end(tmp_path):
     """eval_cli.main on a tiny random-weight model over one stored window:
     config load, control-family stripping, mode-2 end-copy insertion, all
