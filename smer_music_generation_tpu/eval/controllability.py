@@ -249,6 +249,13 @@ def apply_unk_mode(
     return out
 
 
+def select_window_indices(n_total: int, max_windows: int, py_rng) -> List[int]:
+    """Deterministic (seeded) evaluation subset, in source order."""
+    return sorted(
+        py_rng.choice(n_total, size=max_windows, replace=False).tolist()
+    )
+
+
 @dataclass
 class EvalResult:
     control: str
@@ -557,7 +564,13 @@ class ControllabilityEvaluator:
         self.time_correct_list = []
         self.failed_times_list = []
         results = {k: EvalResult(k) for k in control_kinds}
-        windows = list(test_windows)[: max_windows or len(test_windows)]
+        windows = list(test_windows)
+        if max_windows and max_windows < len(windows):
+            # seeded random subset, NOT a prefix: packed batches order
+            # short (single-track) windows first, so a prefix would bias
+            # the measurement toward the easiest windows
+            idx = select_window_indices(len(windows), max_windows, py_rng)
+            windows = [windows[i] for i in idx]
         for events in windows:
             n_bars = sum(1 for e in events if e == "bar")
             track_names = track_names_of(events)

@@ -10,6 +10,7 @@ from smer_music_generation_tpu.eval.controllability import (
     recompute_bar_tension,
     recompute_bar_track_control,
     recompute_track_controls,
+    select_window_indices,
 )
 from smer_music_generation_tpu.codec.structure import bar_with_track_positions
 from smer_music_generation_tpu.vocab import CONTROL_SETS, WordVocab
@@ -286,6 +287,20 @@ def test_apply_unk_mode_truncated_final_track(vocab, mode2_events):
     )
     assert len(out1) == len(cut)
     assert out1[last_start] == "unk"
+
+
+def test_select_window_indices_not_a_prefix():
+    """The eval subset must be a seeded random draw, not the first N:
+    packed batches order short (single-track) windows first, so a prefix
+    measures only the easiest windows (and makes unk modes 2/3 coincide)."""
+    rng = np.random.default_rng(5)
+    idx = select_window_indices(700, 48, rng)
+    assert len(idx) == 48 and len(set(idx)) == 48
+    assert idx == sorted(idx)
+    assert idx != list(range(48))  # not the prefix
+    assert max(idx) > 96  # reaches into the longer windows
+    # deterministic for a given seed
+    assert idx == select_window_indices(700, 48, np.random.default_rng(5))
 
 
 def test_eval_cli_end_to_end(tmp_path):
