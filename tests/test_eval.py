@@ -289,6 +289,21 @@ def test_apply_unk_mode_truncated_final_track(vocab, mode2_events):
     assert out1[last_start] == "unk"
 
 
+def test_unk_modes_2_and_3_differ_on_multitrack(vocab, mode2_events):
+    """bar_unk blanks only the masked track's copies; all_unk blanks every
+    track's.  On a multi-track window the two must produce different
+    streams (they coincide only for single-track windows)."""
+    events, _ = mode2_events
+    e2 = apply_unk_mode(list(events), vocab, 2, mask_tracks=[0])
+    e3 = apply_unk_mode(list(events), vocab, 3, mask_tracks=[0])
+    assert e2 != e3
+    # every extra mode-3 blank is a d/o/y control copy mode 2 left intact
+    # (the unmasked track's copies, plus the masked track's trailing ones)
+    extra = {i for i, (a, b) in enumerate(zip(e2, e3)) if a != b}
+    assert extra
+    assert all(e3[i] == "unk" and e2[i][:2] in ("d_", "o_", "y_") for i in extra)
+
+
 def test_select_window_indices_not_a_prefix():
     """The eval subset must be a seeded random draw, not the first N:
     packed batches order short (single-track) windows first, so a prefix
