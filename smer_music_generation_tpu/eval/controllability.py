@@ -30,7 +30,12 @@ import numpy as np
 
 from ..codec.remi import remi_to_midi
 from ..codec.smer import bar_events_to_midi, events_to_midi
-from ..codec.structure import bar_with_track_positions, split_track_events, track_names_of
+from ..codec.structure import (
+    _is_track_token,
+    bar_with_track_positions,
+    split_track_events,
+    track_names_of,
+)
 from ..features.controls import (
     bar_track_density,
     bar_track_occupation_polyphony_rate,
@@ -143,17 +148,32 @@ def _bar_track_parts(
     streams (reference ``dataset.py:121-153`` end duplication); detected by
     token class so control_mode-1 streams return None."""
     track_start, track_end = tracks_in_bar[track]
+    def _is_copy_run(c) -> bool:
+        return len(c) == TOTAL_TRACK_CONTROL_TYPES and all(
+            t == "unk" or t[:2] in ("d_", "o_", "y_") for t in c
+        )
+
     tensile_end = 1 if events[track_end - 1].startswith("s_") else 0
+    if (
+        not tensile_end
+        and events[track_end - 1] == "unk"
+        and _is_copy_run(
+            list(events[track_end - 1 - TOTAL_TRACK_CONTROL_TYPES : track_end - 1])
+        )
+    ):
+        # corrupted at-end tensile ('unk' written by change_controls /
+        # unk-mode blanking), preceded by end copies — same detection as
+        # the engine's _body_bounds (infer/engine.py)
+        tensile_end = 1
     lead = list(events[track_start : track_start + TOTAL_TRACK_CONTROL_TYPES])
     trail_lo = track_end - tensile_end - TOTAL_TRACK_CONTROL_TYPES
     trail = list(events[trail_lo : track_end - tensile_end])
     is_copy = (
-        len(trail) == TOTAL_TRACK_CONTROL_TYPES
         # a control-mode-1 track with an EMPTY body is exactly K tokens:
         # the trail slice re-reads the leading copies — require room for
         # lead AND trail so leads are never reported as predictions
-        and trail_lo - track_start >= TOTAL_TRACK_CONTROL_TYPES
-        and all(t == "unk" or t[:2] in ("d_", "o_", "y_") for t in trail)
+        trail_lo - track_start >= TOTAL_TRACK_CONTROL_TYPES
+        and _is_copy_run(trail)
     )
     body_end = trail_lo if is_copy else track_end - tensile_end
     body = list(events[track_start + TOTAL_TRACK_CONTROL_TYPES : body_end])
@@ -180,6 +200,29 @@ def _track_control_token_set(vocab: WordVocab) -> set:
     for kind in ("density", "occupation", "polyphony"):
         s.update(vocab.name_to_tokens.get(kind, []))
     return s
+
+
+def _track_heads(events: Sequence[str]):
+    """Yield (bar_i, track_pos, start, end) for every bar-track segment,
+    INCLUDING one in a trailing partial bar — ``bar_with_track_positions``
+    emits only complete bars, which would exempt a truncated final bar
+    from the unk ablation."""
+    bar_i = -1
+    track_pos = -1
+    cur: Optional[Tuple[int, int, int]] = None
+    for i, e in enumerate(events):
+        if e == "bar" or _is_track_token(e):
+            if cur is not None:
+                yield (*cur, i)
+                cur = None
+            if e == "bar":
+                bar_i += 1
+                track_pos = -1
+            else:
+                track_pos += 1
+                cur = (bar_i, track_pos, i + 1)
+    if cur is not None:
+        yield (*cur, len(events))
 
 
 def apply_unk_mode(
@@ -210,42 +253,31 @@ def apply_unk_mode(
         return events
     out = list(events)
     blankable = _track_control_token_set(vocab)
-    _, bar_poses, bars = bar_with_track_positions(out)
     if unk_mode == 3:
+        _, bar_poses, _ = bar_with_track_positions(out)
         if len(bar_poses):
             for i in range(bar_poses[0], len(out)):
                 if out[i] in blankable:
                     out[i] = "unk"
         return out
-    if unk_mode == 2:
-        for bar_i, tracks_in_bar in enumerate(bars):
-            if mask_bars is not None and bar_i not in mask_bars:
-                continue
-            for track_pos, (track_start, track_end) in enumerate(tracks_in_bar):
-                if (
-                    mask_bars is None
-                    and mask_tracks is not None
-                    and track_pos not in mask_tracks
-                ):
-                    continue
-                # a truncated final track can be shorter than the control head
-                hi = min(track_start + TOTAL_TRACK_CONTROL_TYPES + 1, track_end)
-                for i in range(track_start, hi):
-                    if out[i] in blankable:
-                        out[i] = "unk"
+    if unk_mode == 1 and (selected_kind is None or mask_tracks is None):
         return out
-    # unk_mode == 1
-    if selected_kind is None or mask_tracks is None:
-        return out
-    kind_tokens = set(vocab.name_to_tokens.get(selected_kind, []))
-    for tracks_in_bar in bars:
-        for track_pos, (track_start, track_end) in enumerate(tracks_in_bar):
-            if track_pos not in mask_tracks:
+    targets = (
+        blankable
+        if unk_mode == 2
+        else set(vocab.name_to_tokens.get(selected_kind, []))
+    )
+    for bar_i, track_pos, start, end in _track_heads(out):
+        if unk_mode == 2 and mask_bars is not None:
+            if bar_i not in mask_bars:
                 continue
-            hi = min(track_start + TOTAL_TRACK_CONTROL_TYPES + 1, track_end)
-            for i in range(track_start, hi):
-                if out[i] in kind_tokens:
-                    out[i] = "unk"
+        elif mask_tracks is not None and track_pos not in mask_tracks:
+            continue
+        # blank the leading-copy head only; a truncated final track can be
+        # shorter than the control head
+        for i in range(start, min(start + TOTAL_TRACK_CONTROL_TYPES, end)):
+            if out[i] in targets:
+                out[i] = "unk"
     return out
 
 
@@ -339,6 +371,7 @@ class ControllabilityEvaluator:
             else None
         )
         _, bar_poses, bars_pos = bar_with_track_positions(events)
+        substituted: List[Tuple[int, int]] = []
         for bar, value in zip(bars, new_values):
             # only substitute a real tensile slot: a stream built without
             # tension controls has a track token at bar+1 and must not be
@@ -347,6 +380,13 @@ class ControllabilityEvaluator:
                 bar_poses[bar] + 1
             ] == "unk":
                 events[bar_poses[bar] + 1] = f"s_{value}"
+                substituted.append((bar, value))
+            else:
+                # no tensile slot: nothing was set, so |set - achieved|
+                # would compare against a value the model never saw
+                result.failures += 1
+        if not substituted:
+            return result
         events = apply_unk_mode(events, self.vocab, self.unk_mode, mask_bars=list(bars))
         track_names = track_names_of(events)
         gen = self.engine(
@@ -360,7 +400,7 @@ class ControllabilityEvaluator:
         headers = self._headers(gen.events)
         progs = [t for t in headers if t.startswith("i_")]
         _, out_bar_poses, out_bars = bar_with_track_positions(gen.events)
-        for bar, value in zip(bars, new_values):
+        for bar, value in substituted:
             lo = out_bar_poses[bar]
             hi = out_bar_poses[bar + 1] if bar + 1 < len(out_bar_poses) else len(gen.events)
             achieved = recompute_bar_tension(
@@ -426,8 +466,8 @@ class ControllabilityEvaluator:
         ``new_value + U{-1,0,1}`` clipped to [0, 9] (unk_mode 0) — the model
         conditions on the per-bar copies, so leaving them stale measures
         nothing."""
-        assert kind in ("density", "occupation", "polyphony")
-        prefix = {"density": "d", "occupation": "o", "polyphony": "y"}[kind]
+        assert kind in _KIND_ORDER
+        prefix = _KIND_PREFIX[kind]
         result = EvalResult(kind)
         events = list(events)
         track_names = track_names_of(events)

@@ -338,6 +338,18 @@ class InfillEngine:
         N x the single-chip fused aggregate); batch shapes that fall off
         the per-shard kernel gate use the XLA decode path, which XLA
         partitions transparently."""
+        missing = [
+            k for k in ("density", "occupation", "polyphony")
+            if k not in vocab.class_names
+        ]
+        if missing:
+            raise ValueError(
+                "InfillEngine requires the full d/o/y control set "
+                f"(control_number 5); vocab lacks {missing}.  The serving "
+                "layout hardcodes the 3-copy per-track head exactly as the "
+                "reference engine does (generation.py:248-341) — partial-"
+                "control models train fine but cannot drive infilling."
+            )
         self.model = model
         self.vocab = vocab
         self.max_time_fix_attempts = max_time_fix_attempts

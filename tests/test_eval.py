@@ -289,6 +289,80 @@ def test_apply_unk_mode_truncated_final_track(vocab, mode2_events):
     assert out1[last_start] == "unk"
 
 
+def test_apply_unk_mode_partial_final_bar(vocab, mode2_events):
+    """A window cut before the final bar's last track token: that bar is
+    absent from bar_with_track_positions' complete-group list, but the
+    ablation must still blank its present control heads (otherwise the
+    model conditions on controls the ablation claims were removed)."""
+    events, _ = mode2_events
+    _, bar_poses, bars = bar_with_track_positions(events)
+    # cut inside the last bar's FIRST track body: track_1's token is gone
+    t0_start, t0_end = bars[-1][0]
+    cut = list(events[: t0_start + 4])  # full 3-token head + 1 body token
+    last_bar_i = sum(1 for t in cut if t == "bar") - 1
+
+    out2 = apply_unk_mode(list(cut), vocab, 2, mask_bars=[last_bar_i])
+    assert out2[t0_start : t0_start + 3] == ["unk"] * 3
+
+    out2t = apply_unk_mode(list(cut), vocab, 2, mask_tracks=[0])
+    assert out2t[t0_start : t0_start + 3] == ["unk"] * 3
+
+    out1 = apply_unk_mode(
+        list(cut), vocab, 1, mask_tracks=[0], selected_kind="density"
+    )
+    assert out1[t0_start] == "unk" and out1[t0_start + 1].startswith("o_")
+
+
+def test_apply_unk_mode_empty_body_keeps_trail_copies():
+    """Mode 1/2 blank exactly the 3-token leading head: on an empty-body
+    control-mode-2 track the first trailing copy starts immediately after
+    the head and must survive (the old +1 range ate it)."""
+    voc = WordVocab(0, CONTROL_SETS[5])
+    ev = ["2/4", "t_0", "k_0", "d_1", "o_1", "y_1", "i_0",
+          "bar", "s_5", "track_0",
+          "d_1", "o_1", "y_1",          # leading head
+          "d_2", "o_2", "y_2", "s_5"]   # trailing copies + at-end tensile
+    out = apply_unk_mode(list(ev), voc, 2, mask_tracks=[0])
+    assert out[10:13] == ["unk"] * 3
+    assert out[13:17] == ["d_2", "o_2", "y_2", "s_5"]  # trail untouched
+
+
+def test_bar_track_parts_corrupted_end_tensile(vocab, mode2_events):
+    """An 'unk' written into the at-end tensile slot must still be parsed
+    as the tensile position so the trailing copies are recognised (same
+    detection as the engine's _body_bounds)."""
+    from smer_music_generation_tpu.eval.controllability import _bar_track_parts
+
+    events, _ = mode2_events
+    _, _, bars = bar_with_track_positions(events)
+    last_tr = len(bars[0]) - 1
+    _, end = bars[0][last_tr]
+    ev = list(events)
+    assert ev[end - 1].startswith("s_")
+    ev[end - 1] = "unk"
+    lead, body, trail, s_tok = _bar_track_parts(ev, bars[0], last_tr)
+    ref_lead, ref_body, ref_trail, _ = _bar_track_parts(events, bars[0], last_tr)
+    assert body == ref_body and trail == ref_trail and lead == ref_lead
+
+
+def test_evaluate_tensile_skips_unsubstituted_bars(vocab, mode2_events):
+    """Streams with no s_ slot must not contribute |set-achieved| tensile
+    diffs for values that were never written into the stream."""
+    events, _ = mode2_events
+    stripped = [t for t in events if not t.startswith("s_")]
+    ev = ControllabilityEvaluator(None, vocab)  # engine must not be reached
+    res = ev.evaluate_tensile(stripped, [0, 1], [5, 7], jax.random.PRNGKey(0))
+    assert res.diffs == [] and res.failures == 2
+
+
+def test_engine_requires_full_control_set():
+    from smer_music_generation_tpu.infer.engine import InfillEngine
+
+    voc = WordVocab(0, CONTROL_SETS[2])  # key + density only
+    with pytest.raises(ValueError, match="control_number 5"):
+        InfillEngine(None, None, voc)
+
+
 def test_unk_modes_2_and_3_differ_on_multitrack(vocab, mode2_events):
     """bar_unk blanks only the masked track's copies; all_unk blanks every
     track's.  On a multi-track window the two must produce different
