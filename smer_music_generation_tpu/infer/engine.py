@@ -96,6 +96,17 @@ def mask_bar_and_track(
                 continue
             mask_bar_names.append(bar_num)
             mask_track_names.append(track_pos)
+            head = list(events[track_start : track_start + TOTAL_TRACK_CONTROL_TYPES])
+            if not all(
+                t == "unk" or t[:2] in ("d_", "o_", "y_") for t in head
+            ):
+                raise ValueError(
+                    "bar-track segment lacks the 3-copy d/o/y control head "
+                    f"the serving layout requires (got {head}); streams from "
+                    "partial-control (-t 2/3/4) builds cannot drive "
+                    "infilling — the reference engine hardcodes the same "
+                    "layout (generation.py:248-341)."
+                )
             token_start = track_start + TOTAL_TRACK_CONTROL_TYPES
             tensile_end = (
                 1 if events[track_end - 1] in vocab.name_to_tokens.get("tensile", []) else 0
@@ -338,18 +349,6 @@ class InfillEngine:
         N x the single-chip fused aggregate); batch shapes that fall off
         the per-shard kernel gate use the XLA decode path, which XLA
         partitions transparently."""
-        missing = [
-            k for k in ("density", "occupation", "polyphony")
-            if k not in vocab.class_names
-        ]
-        if missing:
-            raise ValueError(
-                "InfillEngine requires the full d/o/y control set "
-                f"(control_number 5); vocab lacks {missing}.  The serving "
-                "layout hardcodes the 3-copy per-track head exactly as the "
-                "reference engine does (generation.py:248-341) — partial-"
-                "control models train fine but cannot drive infilling."
-            )
         self.model = model
         self.vocab = vocab
         self.max_time_fix_attempts = max_time_fix_attempts

@@ -355,12 +355,20 @@ def test_evaluate_tensile_skips_unsubstituted_bars(vocab, mode2_events):
     assert res.diffs == [] and res.failures == 2
 
 
-def test_engine_requires_full_control_set():
-    from smer_music_generation_tpu.infer.engine import InfillEngine
+def test_masking_rejects_partial_control_streams(vocab, mode2_events):
+    """A stream stripped to one control family (what eval prep does for a
+    -t 2 model) lacks the 3-copy head the serving layout hardcodes; the
+    masker must raise instead of silently slicing body tokens as copies."""
+    from smer_music_generation_tpu.infer.engine import mask_bar_and_track
 
-    voc = WordVocab(0, CONTROL_SETS[2])  # key + density only
-    with pytest.raises(ValueError, match="control_number 5"):
-        InfillEngine(None, None, voc)
+    events, _ = mode2_events
+    density_only = [
+        t for t in events
+        if not (t[:2] in ("o_", "y_") and t[2:].isdigit())
+        and not t.startswith("s_")
+    ]
+    with pytest.raises(ValueError, match="3-copy"):
+        mask_bar_and_track(density_only, vocab, [0], [0])
 
 
 def test_unk_modes_2_and_3_differ_on_multitrack(vocab, mode2_events):
