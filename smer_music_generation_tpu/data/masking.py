@@ -61,6 +61,13 @@ def copy_bar_controls_to_end(
     out = list(event)
     for back_pos in range(len(all_pos) - 1, -1, -1):
         if all_pos[back_pos] in bar_poses:
+            if back_pos + track_nums + 1 >= len(all_pos) or any(
+                all_pos[back_pos + t + 1] in bar_poses for t in range(track_nums)
+            ):
+                # truncated trailing bar (token-budget cut): fewer than
+                # track_nums track segments follow — nothing to copy, and
+                # indexing the full complement would run off all_pos
+                continue
             next_bar_pos = all_pos[back_pos + track_nums + 1]
             if tension_control:
                 out.insert(next_bar_pos, out[all_pos[back_pos] + 1])

@@ -44,7 +44,12 @@ from ..features.controls import (
 )
 from ..features.tension import score_tension
 from ..vocab import ALL_KEY_NAMES, CONTROL_BINS, WordVocab, to_category
-from ..infer.engine import TOTAL_TRACK_CONTROL_TYPES, InfillEngine
+from ..infer.engine import (
+    TOTAL_TRACK_CONTROL_TYPES,
+    InfillEngine,
+    decode_headers,
+    is_control_copy_run,
+)
 
 
 def _bar_sixteenths(time_signature: str) -> int:
@@ -148,16 +153,11 @@ def _bar_track_parts(
     streams (reference ``dataset.py:121-153`` end duplication); detected by
     token class so control_mode-1 streams return None."""
     track_start, track_end = tracks_in_bar[track]
-    def _is_copy_run(c) -> bool:
-        return len(c) == TOTAL_TRACK_CONTROL_TYPES and all(
-            t == "unk" or t[:2] in ("d_", "o_", "y_") for t in c
-        )
-
     tensile_end = 1 if events[track_end - 1].startswith("s_") else 0
     if (
         not tensile_end
         and events[track_end - 1] == "unk"
-        and _is_copy_run(
+        and is_control_copy_run(
             list(events[track_end - 1 - TOTAL_TRACK_CONTROL_TYPES : track_end - 1])
         )
     ):
@@ -173,7 +173,7 @@ def _bar_track_parts(
         # the trail slice re-reads the leading copies — require room for
         # lead AND trail so leads are never reported as predictions
         trail_lo - track_start >= TOTAL_TRACK_CONTROL_TYPES
-        and _is_copy_run(trail)
+        and is_control_copy_run(trail)
     )
     body_end = trail_lo if is_copy else track_end - tensile_end
     body = list(events[track_start + TOTAL_TRACK_CONTROL_TYPES : body_end])
@@ -373,6 +373,12 @@ class ControllabilityEvaluator:
         _, bar_poses, bars_pos = bar_with_track_positions(events)
         substituted: List[Tuple[int, int]] = []
         for bar, value in zip(bars, new_values):
+            # a bar index beyond the COMPLETE bars (truncated trailing bar,
+            # or a caller-supplied out-of-range index) has no regenerable
+            # content — and its "bar" token may be the last stream token
+            if bar >= len(bars_pos) or bar_poses[bar] + 1 >= len(events):
+                result.failures += 1
+                continue
             # only substitute a real tensile slot: a stream built without
             # tension controls has a track token at bar+1 and must not be
             # structurally corrupted by a blind write
@@ -496,7 +502,9 @@ class ControllabilityEvaluator:
         events = apply_unk_mode(
             events, self.vocab, self.unk_mode, mask_tracks=[track], selected_kind=kind
         )
-        n_bars = sum(1 for e in events if e == "bar")
+        # complete bars only (a truncated trailing bar has no maskable
+        # track segments; requesting it is at best a no-op)
+        n_bars = len(bar_with_track_positions(list(events))[2])
         gen = self.engine(events, [int(track_names[track][-1])], list(range(n_bars)), rng,
                           correct_controls=self._cc, span_retries=True)
         if gen is None:
@@ -583,10 +591,8 @@ class ControllabilityEvaluator:
     # ------------------------------------------------------------------
     @staticmethod
     def _headers(events: Sequence[str]) -> List[str]:
-        bar0 = next(i for i, t in enumerate(events) if t == "bar")
-        header = list(events[:bar0])
         # bar_events_to_midi needs [time_sig, tempo, programs...]
-        return [header[0], header[1]] + [t for t in header if t.startswith("i_")]
+        return decode_headers(events)
 
     def run(
         self,
@@ -612,7 +618,13 @@ class ControllabilityEvaluator:
             idx = select_window_indices(len(windows), max_windows, py_rng)
             windows = [windows[i] for i in idx]
         for events in windows:
-            n_bars = sum(1 for e in events if e == "bar")
+            # COMPLETE bars only: a window truncated mid-bar still carries
+            # the trailing "bar" token, but that bar has no maskable track
+            # segments (the engine skips it) and may lack even a tensile
+            # slot — selecting it would read past the stream end below and
+            # measure |set−achieved| against content that was never
+            # regenerated.  Complete windows: identical to the token count.
+            n_bars = len(bar_with_track_positions(list(events))[2])
             track_names = track_names_of(events)
             for kind in control_kinds:
                 if kind == "tensile" and self.unk_mode == 1:

@@ -97,9 +97,7 @@ def mask_bar_and_track(
             mask_bar_names.append(bar_num)
             mask_track_names.append(track_pos)
             head = list(events[track_start : track_start + TOTAL_TRACK_CONTROL_TYPES])
-            if not all(
-                t == "unk" or t[:2] in ("d_", "o_", "y_") for t in head
-            ):
+            if not is_control_copy_run(head):
                 raise ValueError(
                     "bar-track segment lacks the 3-copy d/o/y control head "
                     f"the serving layout requires (got {head}); streams from "
@@ -131,6 +129,26 @@ def mask_bar_and_track(
 
     src = np.array([vocab.char2index(tok) for tok in token_events], dtype=np.int32)
     return src, span_codes, mask_track_names, mask_bar_names
+
+
+def is_control_copy_run(c: Sequence[str]) -> bool:
+    """True for an exact 3-token d/o/y control-copy run (any token possibly
+    blanked to ``unk`` by ``change_controls`` / unk-mode corruption) — the
+    per-track head/trail layout control-mode-2 serving streams carry
+    (reference ``dataset.py:121-153``, ``generation.py:248-341``).  Shared
+    by the engine's body-bounds/masking and the eval harness so their
+    segment parses can never disagree."""
+    return len(c) == TOTAL_TRACK_CONTROL_TYPES and all(
+        t == "unk" or t[:2] in ("d_", "o_", "y_") for t in c
+    )
+
+
+def decode_headers(events: Sequence[str]) -> List[str]:
+    """``[time_sig, tempo, i_* programs...]`` — the header slice
+    ``bar_events_to_midi`` consumes when re-measuring decoded bars
+    (reference ``preprocessing.py:755-958`` header parse)."""
+    bar0 = next(i for i, t in enumerate(events) if t == "bar")
+    return [events[0], events[1]] + [t for t in events[:bar0] if t.startswith("i_")]
 
 
 def restore_marked_input(
@@ -586,6 +604,11 @@ class InfillEngine:
         live = n_spans.copy()
         settled: Dict[int, Tuple[List[str], List[str], int, int, bool]] = {}
         check_close = fix_durations and self.vocab.mode == 0
+        # src never changes across retries; decode it off the hot loop (the
+        # retry path is already round-trip bound on the device_get)
+        src_tokens_all = [
+            [self.vocab.index2char(int(t)) for t in r.src] for r in requests
+        ]
         rng_try = rng
         for attempt in range(1 + retries):
             # attempt 0 was dispatched by run_batch (possibly pipelined
@@ -606,8 +629,7 @@ class InfillEngine:
                 generated = [
                     self.vocab.index2char(t) for t in tokens_all[i][: int(lengths[i])]
                 ]
-                src_tokens = [self.vocab.index2char(int(t)) for t in r.src]
-                restored = restore_marked_input(src_tokens, generated)
+                restored = restore_marked_input(src_tokens_all[i], generated)
                 last = attempt == retries
                 closed = self._spans_close(restored, r) if check_close else True
                 if last or closed:
@@ -625,9 +647,7 @@ class InfillEngine:
                 results.append(None)
                 continue
             if i not in settled:  # n_spans was 0 from the start
-                settled[i] = (
-                    [self.vocab.index2char(int(t)) for t in r.src], [], 0, 0, True
-                )
+                settled[i] = (list(src_tokens_all[i]), [], 0, 0, True)
             restored, generated, steps_i, attempts_i, closed_i = settled[i]
             if fix_durations and self.vocab.mode == 0:
                 # REMI (mode 1) has explicit onsets; bar-sum repair is a
@@ -660,19 +680,14 @@ class InfillEngine:
         """
         tens = self.vocab.name_to_tokens.get("tensile", [])
 
-        def is_copy_triplet(c: List[str]) -> bool:
-            return len(c) == TOTAL_TRACK_CONTROL_TYPES and all(
-                t == "unk" or t[:2] in ("d_", "o_", "y_") for t in c
-            )
-
         end = track_end
         if events[end - 1] in tens:
             end -= 1
-        elif events[end - 1] == "unk" and is_copy_triplet(
+        elif events[end - 1] == "unk" and is_control_copy_run(
             list(events[end - 1 - TOTAL_TRACK_CONTROL_TYPES : end - 1])
         ):
             end -= 1  # corrupted at-end tensile, preceded by end copies
-        if is_copy_triplet(list(events[end - TOTAL_TRACK_CONTROL_TYPES : end])):
+        if is_control_copy_run(list(events[end - TOTAL_TRACK_CONTROL_TYPES : end])):
             end -= TOTAL_TRACK_CONTROL_TYPES
         return track_start + TOTAL_TRACK_CONTROL_TYPES, end
 
@@ -1010,10 +1025,7 @@ class InfillEngine:
             return None
         src_tokens = [self.vocab.index2char(int(t)) for t in req.src]
 
-        bar0 = next(i for i, t in enumerate(src_tokens) if t == "bar")
-        header = [src_tokens[0], src_tokens[1]] + [
-            t for t in src_tokens[:bar0] if t.startswith("i_")
-        ]
+        header = decode_headers(src_tokens)
         key_token = src_tokens[2] if src_tokens[2].startswith("k_") else None
         key_name = (
             ALL_KEY_NAMES[int(key_token[2:])]
@@ -1113,8 +1125,7 @@ class InfillEngine:
         from ..eval.controllability import recompute_bar_track_control
 
         out = list(events)
-        bar0 = next(i for i, t in enumerate(out) if t == "bar")
-        header = [out[0], out[1]] + [t for t in out[:bar0] if t.startswith("i_")]
+        header = decode_headers(out)
         _, _, bars = bar_with_track_positions(out)
         for bar_num, track_num in zip(mask_bars, mask_tracks):
             if bar_num >= len(bars) or track_num >= len(bars[bar_num]):

@@ -221,6 +221,24 @@ def test_evaluator_tensile_secondary_families(vocab, mode2_events, tiny_engine):
         }
 
 
+def test_truncated_trailing_bar_is_failure_not_crash(vocab, mode2_events, tiny_engine):
+    """A window cut right after a trailing 'bar' token (token-budget
+    truncation): the bar-TOKEN count includes a bar with no content.
+    Selecting it used to read past the stream end
+    (``events[bar_poses[b] + 1]`` -> IndexError) or measure
+    |set-achieved| against content the engine never regenerated; it must
+    count as a failure directly and never be selected by the sweep."""
+    events, _ = mode2_events
+    truncated = list(events) + ["bar"]
+    phantom = sum(1 for e in truncated if e == "bar") - 1
+    ev = ControllabilityEvaluator(tiny_engine, vocab)
+    r = ev.evaluate_tensile(truncated, [phantom], [5], jax.random.PRNGKey(0))
+    assert r.failures == 1 and r.diffs == []
+    # the sweep draws mutation bars from COMPLETE bars only
+    out = ev.run([truncated], control_kinds=("tensile",), max_windows=1, seed=0)
+    assert out["tensile"]["n"] + out["tensile"]["failures"] >= 1
+
+
 def test_run_reports_time_stats(vocab, mode2_events, tiny_engine):
     events, _ = mode2_events
     ev = ControllabilityEvaluator(tiny_engine, vocab)
