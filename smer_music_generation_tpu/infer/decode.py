@@ -108,6 +108,14 @@ class InfillDecoder:
             vocab_pad(self.tables.vocab_size),
         )
         cfg = self.model.cfg
+        if self.max_tgt_len > cfg.max_len:
+            # past max_len the XLA paths' pos_table gather clamps (silently
+            # reusing the last PE row) while the fused kernel computes PE
+            # analytically — the paths would diverge instead of erroring
+            raise ValueError(
+                f"max_tgt_len={self.max_tgt_len} exceeds the model's "
+                f"positional limit max_len={cfg.max_len}"
+            )
         kernel_fits = (
             cfg.d_model % 128 == 0
             and cfg.d_model // cfg.nhead in (64, 128)
@@ -307,9 +315,13 @@ class InfillDecoder:
                 )
 
             control_done = (cur_type != SPAN_BODY) & (steps_in_span >= 2)
+            # cap parity (reference generation.py:542 `len(this_tgt_inp) <
+            # 100` with the introducing m_0 counted): a span may reach
+            # span_cap tokens incl. m_0, i.e. end when steps (tokens so
+            # far) has hit the cap, not one short of it
             end_span = (
                 (sampled == t.eos_index)
-                | (steps_in_span + 1 >= self.span_cap)
+                | (steps_in_span >= self.span_cap)
                 | control_done
             )
             if forced is not None:
@@ -327,7 +339,7 @@ class InfillDecoder:
             now_done = done | (new_span_idx >= n_spans)
 
             next_tok = jnp.where(end_span, t.mask_index, sampled)
-            next_tok = jnp.where(now_done | done, 0, next_tok)
+            next_tok = jnp.where(now_done, 0, next_tok)  # now_done covers done
 
             new_state = update_bits(next_bits, state, sampled)
             reset = end_span | done
@@ -470,14 +482,19 @@ class InfillDecoder:
             )
 
         b_axis1 = P(None, "dp")
-        out, lengths, steps_b = shard_map(
-            shard_fn,
+        sm_kwargs = dict(
             mesh=mesh,
             in_specs=(P(), b_axis1, b_axis1, P("dp"), b_axis1, b_axis1,
                       b_axis1, P("dp")),
             out_specs=(P("dp"), P("dp"), P("dp")),
-            check_vma=False,
-        )(packed, state0, aux, span_types, noise, cache, cross_kv, cross_len)
+        )
+        try:
+            sharded = shard_map(shard_fn, check_vma=False, **sm_kwargs)
+        except TypeError:  # pragma: no cover - pre-check_vma jax
+            sharded = shard_map(shard_fn, check_rep=False, **sm_kwargs)
+        out, lengths, steps_b = sharded(
+            packed, state0, aux, span_types, noise, cache, cross_kv, cross_len
+        )
         return DecodeResult(tokens=out, lengths=lengths, steps=jnp.max(steps_b))
 
     def _decode_v4(
@@ -543,10 +560,13 @@ class InfillDecoder:
         valid = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1) < lengths[:, None]
         out = jnp.where(valid, out, 0)[:, :L]
         # pos advances in T_chunk increments and can overshoot a mid-chunk
-        # finish by T_chunk-1; derive steps from the longest element's
-        # emitted count (== v3's loop-iteration count, which satisfies
-        # max(ST_LEN) == pos + 1 when the cap is not hit)
-        steps = jnp.maximum(jnp.max(lengths) - 1, 0)
+        # finish by T_chunk-1; reconstruct v3's loop-iteration count: a
+        # done-exit runs one extra iteration past the last emitted token
+        # (the eos/done sampling writes a zero), so steps == max(ST_LEN);
+        # a cap-exit stops the loop at pos + 1 == L, i.e. L - 1 iterations
+        steps = jnp.where(
+            jnp.all(state[ST_DONE] > 0), jnp.max(lengths), L - 1
+        )
         return DecodeResult(tokens=out, lengths=lengths, steps=steps)
 
 

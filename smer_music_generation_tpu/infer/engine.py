@@ -940,6 +940,17 @@ class InfillEngine:
             for si in range(last_span + 1):
                 forced_stream.append("m_0")
                 forced_stream.extend(spans[si])
+            if forced_stream:
+                # close the LAST forced span: the decoder ends a forced span
+                # only on a forced m_0 (decode.py _decode forced_end).  A
+                # settled group always ends in a 1-token control span today,
+                # whose control_done fires at the first unforced step and
+                # emits the same boundary m_0 with the same noise rows — but
+                # that is a coincidence of the span grammar, not the forced
+                # contract; a body-terminal prefix would otherwise resume
+                # sampling INSIDE content that already passed its closure
+                # check.  Terminate explicitly.
+                forced_stream.append("m_0")
             # if everything settled but the final substitution is not in
             # `generated` yet, the next iteration is a fully-forced replay
             # that materialises it, then breaks

@@ -700,11 +700,13 @@ def _sample_and_advance_b(
     )
 
     control_done = (cur_type != span_body) & (steps >= 2)
-    end_span = (sampled == eos_index) | (steps + 1 >= span_cap) | control_done
+    # cap counts the introducing m_0 (reference generation.py:542); must
+    # match the XLA loop in infer/decode.py exactly for token parity
+    end_span = (sampled == eos_index) | (steps >= span_cap) | control_done
     new_span_idx = jnp.where(end_span, span_idx + 1, span_idx)
     now_done = (done > 0) | (new_span_idx >= n_spans)
     next_tok = jnp.where(end_span, mask_index, sampled)
-    next_tok = jnp.where(now_done | (done > 0), 0, next_tok)
+    next_tok = jnp.where(now_done, 0, next_tok)  # now_done covers done
     new_bits = jnp.where(end_span | (done > 0), 0, new_bits)
     new_steps = jnp.where(end_span, 1, steps + 1)
     new_len = jnp.where(next_tok != 0, pos + 2, length)

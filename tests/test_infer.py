@@ -708,6 +708,21 @@ def test_forced_prefix_decode_reproduces_prefix(vocab, mode2_events, tiny_engine
     assert full2[: len(prefix)] == prefix
     # the re-decode must still produce the full span count
     assert sum(1 for t in full2 if t == "m_0") == len(req.span_codes)
+    # a TERMINATED prefix (trailing m_0, the settle-loop contract) must
+    # reproduce the settled spans exactly and start a fresh span after the
+    # terminator — without it a body-terminal prefix would resume sampling
+    # inside the settled span
+    prefix_t = full[: m0_positions[1]] + ["m_0"]
+    forced_t = np.asarray([[vocab.char2index(t) for t in prefix_t]], np.int32)
+    out3 = decoder(
+        tiny_engine.params, src_b, span_types, n_spans, no_whole,
+        jax.random.PRNGKey(99),
+        forced=forced_t, forced_len=np.asarray([len(prefix_t)], np.int32),
+    )
+    toks3, lens3 = jax.device_get((out3.tokens, out3.lengths))
+    full3 = [vocab.index2char(int(t)) for t in toks3[0][: int(lens3[0])]]
+    assert full3[: len(prefix_t)] == prefix_t
+    assert sum(1 for t in full3 if t == "m_0") == len(req.span_codes)
 
 
 def test_in_decode_correct_controls(vocab, mode2_events, tiny_engine):
