@@ -72,6 +72,24 @@ def _param_spec(path: str, tp_enabled: bool) -> P:
     return P()
 
 
+def train_state_shardings(mesh: Mesh, state):
+    """Sharding tree for a full ``TrainState``: params via
+    ``param_shardings``, the Adam ``mu``/``nu`` mirror the param tree,
+    every other leaf (counts, lr, step) replicated.  This is what actually
+    materializes the TP rules — device_put'ing the state with it (and
+    letting jit propagate) is the whole application step."""
+    p_shard = param_shardings(mesh, state.params)
+    rep = replicated(mesh)
+    adam_state, scale_state = state.opt_state
+    opt_shard = (
+        adam_state._replace(count=rep, mu=p_shard, nu=p_shard),
+        jax.tree.map(lambda _: rep, scale_state),
+    )
+    return type(state)(
+        params=p_shard, opt_state=opt_shard, step=rep, lr=rep
+    )
+
+
 def param_shardings(mesh: Mesh, params) -> dict:
     """NamedSharding pytree for a parameter pytree."""
     tp_enabled = mesh.shape.get(TP_AXIS, 1) > 1

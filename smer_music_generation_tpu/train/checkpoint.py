@@ -95,6 +95,31 @@ def restore_checkpoint(
     return new_state, int(restored["epoch"]), float(restored["loss"])
 
 
+def restore_params_only(path: str, abstract_state) -> Tuple[dict, int]:
+    """Restore just ``(params, epoch)`` from a full train checkpoint.
+
+    Inference/serving/eval never need the Adam state — roughly 2x the
+    param bytes — so its leaves are marked ``ocp.PLACEHOLDER`` and never
+    deserialized (the reference likewise loads only ``model_state_dict``
+    at eval, ``evaluation.py:1601-1607``).  ``abstract_state`` is a
+    ``jax.eval_shape`` of ``TrainState.create`` so nothing is allocated
+    for the skipped subtree on the caller's side either.
+    """
+    abstract = {
+        "params": jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract_state.params),
+        "opt_state": jax.tree.map(lambda _: ocp.PLACEHOLDER, abstract_state.opt_state),
+        "step": ocp.utils.to_shape_dtype_struct(abstract_state.step),
+        "lr": ocp.utils.to_shape_dtype_struct(abstract_state.lr),
+        "epoch": jax.ShapeDtypeStruct((), np.int32),
+        "loss": jax.ShapeDtypeStruct((), np.float32),
+    }
+    with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+        restored = ckptr.restore(
+            os.path.abspath(path), args=ocp.args.PyTreeRestore(item=abstract)
+        )
+    return restored["params"], int(restored["epoch"])
+
+
 def latest_checkpoint(directory: str) -> Optional[str]:
     if not os.path.isdir(directory):
         return None

@@ -25,7 +25,7 @@ import numpy as np
 from ..data.loader import BatchLoader, LoaderConfig
 from ..data.masking import MaskingConfig
 from ..data.pack import load_batches
-from ..parallel.mesh import batch_sharding, make_mesh, param_shardings, replicated
+from ..parallel.mesh import batch_sharding, make_mesh, train_state_shardings
 from ..utils.config import ExperimentConfig
 from ..utils.logging import MetricsLogger, logger_init
 from ..vocab import WordVocab
@@ -107,10 +107,13 @@ class Trainer:
             self.start_epoch = 0 if cfg.reset_epoch else epoch + 1
             self.logger.info(f"resumed from {cfg.resume_from} (epoch {epoch}, loss {loss:.4f})")
 
-        # shard: params replicated (or TP rules), batch over dp
-        self._p_shard = param_shardings(self.mesh, self.state.params)
+        # shard: params replicated (or the TP rules when tp > 1), batch
+        # over dp.  device_put with the full state sharding tree IS the
+        # TP application — jit propagates the input shardings through the
+        # step so the state stays sharded across epochs.
+        self._state_shard = train_state_shardings(self.mesh, self.state)
         self._data_shard = batch_sharding(self.mesh)
-        self.state = jax.device_put(self.state, replicated(self.mesh))
+        self.state = jax.device_put(self.state, self._state_shard)
 
         # NO buffer donation: over a tunnelled/relayed backend (axon)
         # donating the state forces a full host round-trip of params +
@@ -126,8 +129,11 @@ class Trainer:
     # ------------------------------------------------------------------
     def _device_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
         batch = pad_batch_rows(batch, self.dp)
+        # device_put straight from numpy: one host->devices transfer per
+        # leaf (jnp.asarray first would land the batch on device 0 and
+        # then reshard device-to-device)
         return {
-            k: jax.device_put(jnp.asarray(v), self._data_shard) for k, v in batch.items()
+            k: jax.device_put(np.asarray(v), self._data_shard) for k, v in batch.items()
         }
 
     def make_loader(self, groups, pretraining: bool, seed_offset: int = 0) -> BatchLoader:
@@ -166,15 +172,21 @@ class Trainer:
             self._rng, sub = jax.random.split(self._rng)
             try:
                 with timer:
-                    self.state, m = self._train_step(
+                    new_state, m = self._train_step(
                         self.state, self._device_batch(batch), jnp.float32(eos_weight), sub
                     )
+                    # materialize INSIDE both blocks: dispatch is async, so
+                    # device-side errors surface here (where the catch can
+                    # skip the batch with self.state still unpoisoned) and
+                    # the timer brackets real execution, not just dispatch
+                    loss_val = float(m["loss"])
             except Exception as e:  # failure containment: skip the batch
                 # (reference behaviour: blanket try/except + continue,
                 # train.py:917-926; here scoped to the device step)
                 self.logger.error(f"step {step} failed: {type(e).__name__}: {e}")
                 continue
-            losses.append(float(m["loss"]))
+            self.state = new_state
+            losses.append(loss_val)
             for n, c, k in zip(names, np.asarray(m["correct_per_class"]), np.asarray(m["count_per_class"])):
                 acc_correct[n] += c
                 acc_count[n] += k
@@ -210,7 +222,11 @@ class Trainer:
         correct = defaultdict(float)
         count = defaultdict(float)
         names = self.tables["class_names"]
-        for batch in loader:
+        from ..data.loader import Prefetcher
+
+        # same host/device overlap as train_epoch: collation of batch k+1
+        # proceeds while the device runs eval step k
+        for batch in Prefetcher(iter(loader), depth=2):
             m = self._eval_step(
                 self.state.params, self._device_batch(batch), jnp.float32(eos_weight)
             )

@@ -177,5 +177,6 @@ def per_class_accuracy(
     # tokens whose class id is -1 (pad) route to a scratch bin
     tgt_class = jnp.where(valid & (tgt_class >= 0), tgt_class, n_classes)
     correct_pc = jax.ops.segment_sum(correct.astype(jnp.float32), tgt_class, n_classes + 1)[:-1]
-    count_pc = jax.ops.segment_sum(valid.astype(jnp.float32) * (class_ids[tgt] >= 0), tgt_class, n_classes + 1)[:-1]
+    # invalid/classless tokens already route to the dropped scratch bin
+    count_pc = jax.ops.segment_sum(jnp.ones_like(tgt, jnp.float32), tgt_class, n_classes + 1)[:-1]
     return correct_pc, count_pc, jnp.sum(correct), jnp.sum(valid)

@@ -121,16 +121,23 @@ def make_eval_step(model: ScoreTransformer, tables: Dict):
 
 @dataclasses.dataclass
 class PlateauScheduler:
-    """Host-side ReduceLROnPlateau (patience 2, x0.5, min 1e-7)."""
+    """Host-side ReduceLROnPlateau (patience 2, x0.5, min 1e-7).
+
+    ``threshold`` is torch's default rel-mode threshold (1e-4): an epoch
+    only counts as an improvement when loss < best * (1 - threshold), so
+    runs creeping down by negligible amounts still decay the LR exactly
+    as the reference scheduler (train.py:663-664) would.
+    """
 
     patience: int = 2
     factor: float = 0.5
     min_lr: float = 1e-7
+    threshold: float = 1e-4
     best: float = float("inf")
     bad_epochs: int = 0
 
     def update(self, lr: float, epoch_loss: float) -> float:
-        if epoch_loss < self.best:
+        if epoch_loss < self.best * (1.0 - self.threshold):
             self.best = epoch_loss
             self.bad_epochs = 0
             return lr
@@ -183,7 +190,7 @@ def load_inference_model(cfg, vocab_size: int, checkpoint: str | None, dtype):
     """
     final_norm = True
     if checkpoint:
-        from .checkpoint import checkpoint_has_final_norm, restore_checkpoint
+        from .checkpoint import checkpoint_has_final_norm
 
         detected = checkpoint_has_final_norm(checkpoint)
         if detected is not None:
@@ -193,13 +200,22 @@ def load_inference_model(cfg, vocab_size: int, checkpoint: str | None, dtype):
         num_layers=cfg.num_layers, d_ff=cfg.d_ff, max_len=cfg.max_seq,
         dropout=0.0, dtype=dtype, final_norm=final_norm,
     )
-    params = jax.jit(model.init)(
-        {"params": jax.random.PRNGKey(0)},
-        jnp.ones((1, 16), jnp.int32), jnp.ones((1, 16), jnp.int32),
-    )
-    epoch = -1
+    def init_fn():
+        return model.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.ones((1, 16), jnp.int32), jnp.ones((1, 16), jnp.int32),
+        )
+
     if checkpoint:
-        state = TrainState.create(params, lr=cfg.lr)
-        state, epoch, _ = restore_checkpoint(checkpoint, state)
-        params = state.params
+        from .checkpoint import restore_params_only
+
+        # abstract trees only: neither the random init nor the optimizer's
+        # mu/nu (~2x param bytes) are materialized on the inference path —
+        # the checkpoint's params are the only real allocation
+        abstract_state = jax.eval_shape(
+            lambda: TrainState.create(init_fn(), lr=cfg.lr)
+        )
+        params, epoch = restore_params_only(checkpoint, abstract_state)
+    else:
+        params, epoch = jax.jit(init_fn)(), -1
     return model, params, epoch

@@ -50,6 +50,32 @@ def test_pad_batch_rows():
     assert out["input_pad_mask"][3].all()
 
 
+def test_tp_shardings_actually_applied(tmp_path):
+    """--tp N must lay the Megatron-ruled params out over the tp axis of
+    the live state, not merely compute the specs (regression: the specs
+    were built and then the state was device_put replicated)."""
+    cfg = ExperimentConfig(
+        d_model=32, nhead=4, num_layers=1, d_ff=64, max_seq=1408, epochs=1,
+        batch_size=1, output_dir=str(tmp_path), bf16=False, tp=2,
+    )
+    trainer = Trainer(cfg)
+    found = []
+    for path, leaf in jax.tree_util.tree_leaves_with_path(trainer.state.params):
+        p = "/".join(str(getattr(k, "key", k)) for k in path)
+        if "ff/fc1/kernel" in p:
+            found.append(tuple(leaf.sharding.spec))
+    assert found and all("tp" in spec for spec in found), found
+    # adam mu mirrors the param layout
+    mu_specs = [
+        tuple(leaf.sharding.spec)
+        for path, leaf in jax.tree_util.tree_leaves_with_path(
+            trainer.state.opt_state[0].mu
+        )
+        if "ff/fc1/kernel" in "/".join(str(getattr(k, "key", k)) for k in path)
+    ]
+    assert mu_specs == found
+
+
 def test_trainer_two_epochs_and_checkpoint(tiny_cfg, mock_groups):
     trainer = Trainer(tiny_cfg)
     trainer.run(mock_groups, mock_groups)
@@ -65,6 +91,16 @@ def test_trainer_two_epochs_and_checkpoint(tiny_cfg, mock_groups):
     leaves_a = jax.tree.leaves(trainer.state.params)
     leaves_b = jax.tree.leaves(state2.params)
     for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    # the inference path restores the same params WITHOUT deserializing
+    # (or allocating) the optimizer state
+    from smer_music_generation_tpu.train.checkpoint import restore_params_only
+
+    abstract = jax.eval_shape(lambda: trainer.state)
+    p_only, epoch_po = restore_params_only(latest, abstract)
+    assert epoch_po == 1
+    for a, b in zip(leaves_a, jax.tree.leaves(p_only)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
