@@ -131,10 +131,11 @@ class Trainer:
         batch = pad_batch_rows(batch, self.dp)
         # device_put straight from numpy: one host->devices transfer per
         # leaf (jnp.asarray first would land the batch on device 0 and
-        # then reshard device-to-device)
-        return {
-            k: jax.device_put(np.asarray(v), self._data_shard) for k, v in batch.items()
-        }
+        # then reshard device-to-device); ONE pytree call, not one dispatch
+        # per leaf — dispatch overhead is per-call on a tunnelled backend
+        return jax.device_put(
+            {k: np.asarray(v) for k, v in batch.items()}, self._data_shard
+        )
 
     def make_loader(self, groups, pretraining: bool, seed_offset: int = 0) -> BatchLoader:
         cfg = self.cfg
@@ -178,7 +179,13 @@ class Trainer:
                     # materialize INSIDE both blocks: dispatch is async, so
                     # device-side errors surface here (where the catch can
                     # skip the batch with self.state still unpoisoned) and
-                    # the timer brackets real execution, not just dispatch
+                    # the timer brackets real execution, not just dispatch.
+                    # ONE device_get for the whole metrics dict: per-leaf
+                    # float()/asarray() fetches are each a device round trip
+                    # (~11 on logging steps), and over a tunnelled backend
+                    # those round trips — not masking/collation — dominate
+                    # the wall-clock step
+                    m = jax.device_get(m)
                     loss_val = float(m["loss"])
             except Exception as e:  # failure containment: skip the batch
                 # (reference behaviour: blanket try/except + continue,
@@ -187,7 +194,7 @@ class Trainer:
                 continue
             self.state = new_state
             losses.append(loss_val)
-            for n, c, k in zip(names, np.asarray(m["correct_per_class"]), np.asarray(m["count_per_class"])):
+            for n, c, k in zip(names, m["correct_per_class"], m["count_per_class"]):
                 acc_correct[n] += c
                 acc_count[n] += k
             if step < 3 or step % self.cfg.print_every == self.cfg.print_every - 1:
@@ -227,14 +234,18 @@ class Trainer:
         # same host/device overlap as train_epoch: collation of batch k+1
         # proceeds while the device runs eval step k
         for batch in Prefetcher(iter(loader), depth=2):
-            m = self._eval_step(
-                self.state.params, self._device_batch(batch), jnp.float32(eos_weight)
+            # one device_get per batch (see train_epoch): per-leaf fetches
+            # cost ~11 round trips each eval step over a tunnelled backend
+            m = jax.device_get(
+                self._eval_step(
+                    self.state.params, self._device_batch(batch), jnp.float32(eos_weight)
+                )
             )
             losses.append(float(m["loss"]))
             for k, v in m.items():
                 if k.startswith("loss/"):
                     head_losses[k].append(float(v))
-            for n, c, k in zip(names, np.asarray(m["correct_per_class"]), np.asarray(m["count_per_class"])):
+            for n, c, k in zip(names, m["correct_per_class"], m["count_per_class"]):
                 correct[n] += c
                 count[n] += k
         out = {"total": float(np.mean(losses)) if losses else float("inf")}
