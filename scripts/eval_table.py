@@ -5,8 +5,8 @@
 
 Each positional arg is ``column_name=path``.  Rows are the four control
 axes (mean |set - achieved| per axis, as published in docs/TRAINING.md);
-a ``--time-stats`` flag appends the bar-duration repair summary of the
-last column.  Missing axes (e.g. tensile under unk_mode 1) render as
+a ``--time-stats`` flag appends one bar-duration repair summary line
+per column.  Missing axes (e.g. tensile under unk_mode 1) render as
 an em dash.
 """
 

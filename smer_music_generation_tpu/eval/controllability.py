@@ -624,8 +624,13 @@ class ControllabilityEvaluator:
             # slot — selecting it would read past the stream end below and
             # measure |set−achieved| against content that was never
             # regenerated.  Complete windows: identical to the token count.
-            n_bars = len(bar_with_track_positions(list(events))[2])
+            _, bar_poses, complete_bars = bar_with_track_positions(list(events))
+            n_bars = len(complete_bars)
             track_names = track_names_of(events)
+            if n_bars == 0 or not track_names:
+                # degenerate window (truncated inside its first bar, or no
+                # track headers): nothing is maskable for any control kind
+                continue
             for kind in control_kinds:
                 if kind == "tensile" and self.unk_mode == 1:
                     # reference skips tensile under one_unk: there is no
@@ -637,7 +642,6 @@ class ControllabilityEvaluator:
                     bars = sorted(py_rng.choice(n_bars, n_mut, replace=False).tolist())
                     # reference constraint: |original - new| <= 4
                     # (evaluation.py:2078), unreachable jumps are excluded
-                    _, bar_poses, _ = bar_with_track_positions(list(events))
                     values = []
                     for b in bars:
                         tok = events[bar_poses[b] + 1]

@@ -560,12 +560,16 @@ class InfillDecoder:
         valid = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1) < lengths[:, None]
         out = jnp.where(valid, out, 0)[:, :L]
         # pos advances in T_chunk increments and can overshoot a mid-chunk
-        # finish by T_chunk-1; reconstruct v3's loop-iteration count: a
-        # done-exit runs one extra iteration past the last emitted token
-        # (the eos/done sampling writes a zero), so steps == max(ST_LEN);
-        # a cap-exit stops the loop at pos + 1 == L, i.e. L - 1 iterations
+        # finish by T_chunk-1; reconstruct v3's loop-iteration count.  A
+        # row's finish iteration equals its unclamped ST_LEN (the eos/done
+        # sampling writes a zero that is not counted), so the slowest row
+        # sets the count; v3 caps iterations at L - 1 (cond: pos + 1 < L),
+        # which also covers rows that here ran on into the slop region; and
+        # if the loop never entered (all spans done at start, or L <= 1)
+        # v3 reports 0 while ST_LEN is initialized to 1.
+        ran = (L > 1) & jnp.any(state0[ST_DONE] == 0)
         steps = jnp.where(
-            jnp.all(state[ST_DONE] > 0), jnp.max(lengths), L - 1
+            ran, jnp.minimum(jnp.max(state[ST_LEN]), L - 1), 0
         )
         return DecodeResult(tokens=out, lengths=lengths, steps=steps)
 

@@ -239,6 +239,21 @@ def test_truncated_trailing_bar_is_failure_not_crash(vocab, mode2_events, tiny_e
     assert out["tensile"]["n"] + out["tensile"]["failures"] >= 1
 
 
+def test_run_skips_window_with_zero_complete_bars(vocab, mode2_events, tiny_engine):
+    """A window truncated inside its FIRST bar has zero complete bars;
+    the sweep used to crash on ``py_rng.integers(1, 1)`` (review finding)
+    instead of skipping the window for every control kind."""
+    events, _ = mode2_events
+    first_bar = list(events).index("bar")
+    degenerate = list(events)[: first_bar + 1]  # headers + a lone 'bar'
+    ev = ControllabilityEvaluator(tiny_engine, vocab)
+    out = ev.run(
+        [degenerate], control_kinds=("tensile", "density"), max_windows=1, seed=0
+    )
+    assert out["tensile"]["n"] == 0 and out["tensile"]["failures"] == 0
+    assert out["density"]["n"] == 0 and out["density"]["failures"] == 0
+
+
 def test_run_reports_time_stats(vocab, mode2_events, tiny_engine):
     events, _ = mode2_events
     ev = ControllabilityEvaluator(tiny_engine, vocab)

@@ -430,6 +430,7 @@ def test_kernel_looped_v4_matches_v3():
         assert int(r4.lengths[0]) == n, (kw, r3.lengths, r4.lengths)
         assert np.array_equal(np.asarray(r3.tokens)[0, :n],
                               np.asarray(r4.tokens)[0, :n]), kw
+        assert int(r4.steps) == int(r3.steps), kw
 
 
 def test_kernel_looped_v4_respects_cap():
@@ -466,6 +467,38 @@ def test_kernel_looped_v4_respects_cap():
     assert int(r4.lengths[0]) <= L
     assert int(r4.lengths[0]) == L
     assert np.array_equal(np.asarray(r3.tokens)[0], np.asarray(r4.tokens)[0])
+    # step-count parity at the cap: v3 exits its loop at pos + 1 == L
+    # (L - 1 iterations); v4's reconstruction must not report L even
+    # though the live row ran into the slop region (review finding)
+    assert int(r3.steps) == L - 1
+    assert int(r4.steps) == int(r3.steps)
+
+
+def test_kernel_looped_v4_steps_all_done_at_start():
+    """n_spans == 0 for every row: v3's while_loop never runs (steps 0);
+    the v4 reconstruction must not report max(ST_LEN) == 1."""
+    from smer_music_generation_tpu.infer.decode import InfillDecoder, pad_to_bucket
+    from smer_music_generation_tpu.vocab import CONTROL_SETS, WordVocab
+
+    vocab = WordVocab(0, CONTROL_SETS[5])
+    cfg, model, params, _ = _decode_fixture(V=vocab.vocab_size, nl=2)
+    src_tokens = ["4/4", "t_3", "k_0", "d_2", "o_2", "y_2", "i_0",
+                  "bar", "s_2", "track_0", "d_2", "o_2", "y_2"]
+    src = np.array([[vocab.char2index(t) for t in src_tokens]], np.int32)
+    src = pad_to_bucket(src, bucket=512)
+    span_types = np.zeros((1, 160), np.int32)
+    n_spans = np.asarray([0], np.int32)
+    rng = jax.random.PRNGKey(3)
+
+    kw = dict(max_tgt_len=512, nucleus_p=None, greedy=True, fused=True,
+              fused_sampling=True, interpret=True)
+    v3 = InfillDecoder(model, vocab, **kw)
+    v4 = InfillDecoder(model, vocab, token_chunk=8, **kw)
+    r3 = v3(params, src, span_types, n_spans, False, rng)
+    r4 = v4(params, src, span_types, n_spans, False, rng)
+    assert int(r3.steps) == 0
+    assert int(r4.steps) == 0
+    assert int(r3.lengths[0]) == int(r4.lengths[0])
 
 
 def test_fused_decode_sharded_matches_unsharded():
