@@ -37,6 +37,8 @@ def main():
                     help="donate the train state (pessimal over a tunnelled "
                          "backend — r2 finding 1)")
     ap.add_argument("--no_rbg", action="store_true", help="threefry dropout RNG")
+    ap.add_argument("--no_bf16_residual", action="store_true",
+                    help="f32 attention-softmax residual (pre-Finding-5 step)")
     ap.add_argument("--real_shapes", action="store_true",
                     help="sweep the real packed-loader regime instead of the "
                          "synthetic long-sequence grid")
@@ -64,7 +66,8 @@ def main():
     enable_persistent_cache()
     vocab = WordVocab(0, CONTROL_SETS[5])
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
-    model = build_model(vocab.vocab_size, dtype=dtype, remat=args.remat)
+    model = build_model(vocab.vocab_size, dtype=dtype, remat=args.remat,
+                        bf16_attn_residual=not args.no_bf16_residual)
     params = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(0)},
         jnp.ones((1, 64), jnp.int32), jnp.ones((1, 64), jnp.int32),

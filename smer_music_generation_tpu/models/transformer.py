@@ -67,6 +67,19 @@ class ModelConfig:
     # Falls back to the XLA path when sequence lengths are not multiples
     # of the kernel block size (128).
     flash_training: bool = False
+    # Save the attention-softmax autodiff residual in bfloat16 instead of
+    # float32 (custom-vjp softmax; forward math unchanged — f32 scores and
+    # f32 softmax, exactly as the reference contract).  The f32 (B, H, T, S)
+    # softmax output is the largest per-layer residual the backward pass
+    # re-reads; halving it is worth +7-35% full-step throughput at the real
+    # packed-training shapes (key length <= 1024), but measured SLOWER past
+    # that (-4% at 1280, -15% at 2048 — the upcast stops fusing), so the
+    # rewrite statically gates on the key length.  Only active under bf16
+    # compute (f32 runs keep exact-f32 gradients for parity tests).
+    # Gradients round through bf16 where active: runs trained before this
+    # flag replay only with bf16_attn_residual=False.  Measurements:
+    # docs/PERFORMANCE.md "Finding 5".
+    bf16_attn_residual: bool = True
     # Rematerialize each encoder/decoder layer in the backward pass
     # (jax.checkpoint, nothing-saveable): the f32 (B, H, T, S) attention
     # score/weight temporaries and dropout masks are recomputed instead of
@@ -94,6 +107,32 @@ def sinusoidal_table(max_len: int, d_model: int) -> jnp.ndarray:
 
 
 _dense_init = nn.initializers.xavier_uniform()
+
+# Static key-length ceiling for the bf16 softmax residual (measured
+# crossover on v5e, ModelConfig.bf16_attn_residual).
+_BF16_RESIDUAL_MAX_KLEN = 1024
+
+
+@jax.custom_vjp
+def _softmax_bf16_residual(scores: Array) -> Array:
+    """``jax.nn.softmax(scores, axis=-1)`` whose backward pass reads a
+    bfloat16 copy of the output instead of the float32 original.  The
+    forward value is the ordinary f32 softmax; only the saved residual
+    (and therefore the gradient w.r.t. ``scores``) rounds through bf16."""
+    return jax.nn.softmax(scores, axis=-1)
+
+
+def _softmax_bf16_fwd(scores):
+    w = jax.nn.softmax(scores, axis=-1)
+    return w, w.astype(jnp.bfloat16)
+
+
+def _softmax_bf16_bwd(w_bf16, g):
+    w = w_bf16.astype(jnp.float32)
+    return (w * (g - jnp.sum(w * g, axis=-1, keepdims=True)),)
+
+
+_softmax_bf16_residual.defvjp(_softmax_bf16_fwd, _softmax_bf16_bwd)
 
 
 class MultiHeadAttention(nn.Module):
@@ -133,7 +172,14 @@ class MultiHeadAttention(nn.Module):
         scores = scores / math.sqrt(c.head_dim)
         if mask is not None:
             scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
-        weights = jax.nn.softmax(scores, axis=-1)
+        if (
+            c.bf16_attn_residual
+            and c.dtype == jnp.bfloat16
+            and scores.shape[-1] <= _BF16_RESIDUAL_MAX_KLEN
+        ):
+            weights = _softmax_bf16_residual(scores)
+        else:
+            weights = jax.nn.softmax(scores, axis=-1)
         # fully-masked query rows (all-pad) produce uniform weights; zero them
         if mask is not None:
             any_valid = jnp.any(mask, axis=-1, keepdims=True)

@@ -88,6 +88,7 @@ class Trainer:
             dtype=dtype,
             flash_training=cfg.flash_training,
             remat=cfg.remat,
+            bf16_attn_residual=cfg.bf16_attn_residual,
         )
         self.tables = build_loss_tables(self.vocab)
         self.mesh = make_mesh(cfg.n_devices or None, tp=cfg.tp)

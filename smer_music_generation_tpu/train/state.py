@@ -160,6 +160,7 @@ def build_model(
     flash_training: bool = False,
     final_norm: bool = True,
     remat: bool = False,
+    bf16_attn_residual: bool = True,
 ) -> ScoreTransformer:
     """The flagship config (reference ``config/config.yaml:26-43``)."""
     cfg = ModelConfig(
@@ -176,6 +177,7 @@ def build_model(
         flash_training=flash_training,
         final_norm=final_norm,
         remat=remat,
+        bf16_attn_residual=bf16_attn_residual,
     )
     return ScoreTransformer(cfg)
 

@@ -47,6 +47,10 @@ class ExperimentConfig:
     # attention temporaries; extends the trainable envelope — see
     # docs/PERFORMANCE.md remat section)
     remat: bool = False
+    # bf16 softmax residual in attention backward (+7-35% step throughput
+    # at packed shapes; gradients round through bf16 — flip off to replay
+    # runs trained before the flag; docs/PERFORMANCE.md Finding 5)
+    bf16_attn_residual: bool = True
 
     # optimisation
     lr: float = 1e-4
@@ -127,6 +131,7 @@ class ExperimentConfig:
         parser.add_argument("--tp", type=int, default=defaults.tp)
         parser.add_argument("--no_bf16", action="store_true")
         parser.add_argument("--no_rbg_rng", action="store_true")
+        parser.add_argument("--no_bf16_attn_residual", action="store_true")
         parser.add_argument("--pretraining_epochs", type=int,
                             default=defaults.pretraining_epochs)
         parser.add_argument("--print_every", type=int, default=defaults.print_every)
@@ -154,6 +159,7 @@ class ExperimentConfig:
             tp=args.tp,
             bf16=not args.no_bf16,
             rbg_rng=not args.no_rbg_rng,
+            bf16_attn_residual=not args.no_bf16_attn_residual,
             pretraining_epochs=args.pretraining_epochs,
             print_every=args.print_every,
         )

@@ -269,3 +269,56 @@ def test_remat_exact_loss_and_grads():
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_bf16_attn_residual_gradient_parity():
+    """ModelConfig.bf16_attn_residual changes ONLY the attention-softmax
+    autodiff residual dtype: under bf16 compute, gradients agree with the
+    plain-softmax path to bf16 rounding; under f32 compute the gate is
+    inert and gradients are bit-identical."""
+    import dataclasses
+
+    def grads(cfg):
+        model = ScoreTransformer(cfg)
+        src = jnp.asarray(np.random.default_rng(0).integers(1, V, (2, 12)), jnp.int32)
+        tgt = jnp.asarray(np.random.default_rng(1).integers(1, V, (2, 8)), jnp.int32)
+        params = model.init({"params": jax.random.PRNGKey(0)}, src, tgt)
+
+        def loss(p):
+            logits, _ = model.apply(p, src, tgt)
+            return (logits.astype(jnp.float32) ** 2).mean()
+
+        return jax.grad(loss)(params)
+
+    bf16 = dataclasses.replace(CFG, dtype=jnp.bfloat16)
+    g_on = grads(dataclasses.replace(bf16, bf16_attn_residual=True))
+    g_off = grads(dataclasses.replace(bf16, bf16_attn_residual=False))
+    leaves = list(
+        zip(jax.tree_util.tree_leaves(g_on), jax.tree_util.tree_leaves(g_off))
+    )
+    global_scale = max(
+        float(np.linalg.norm(np.asarray(b, np.float32))) for _, b in leaves
+    )
+    for a, b in leaves:
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        if max(np.linalg.norm(a), np.linalg.norm(b)) < 1e-3 * global_scale:
+            # k-projection biases: the true gradient is zero (softmax is
+            # shift-invariant in the keys), both sides are rounding noise
+            continue
+        err = np.linalg.norm(a - b) / np.linalg.norm(b)
+        assert err < 0.02, (a.shape, err)
+    # at least one leaf must actually differ (the bf16 residual is live)
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_on), jax.tree_util.tree_leaves(g_off)
+        )
+    )
+
+    g_on32 = grads(dataclasses.replace(CFG, bf16_attn_residual=True))
+    g_off32 = grads(dataclasses.replace(CFG, bf16_attn_residual=False))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_on32), jax.tree_util.tree_leaves(g_off32)
+    ):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
