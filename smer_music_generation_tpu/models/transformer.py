@@ -23,11 +23,13 @@ Everything is shape-static and jit-friendly; masks are boolean with
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 Array = jax.Array
@@ -80,6 +82,17 @@ class ModelConfig:
     # flag replay only with bf16_attn_residual=False.  Measurements:
     # docs/PERFORMANCE.md "Finding 5".
     bf16_attn_residual: bool = True
+    # Fuse softmax -> pad-zero -> cast -> dropout -> V-matmul into one
+    # custom-VJP region on the training path so the whole chain stores a
+    # single (B, H, T, S) residual (the bf16 weights) plus the RNG key —
+    # the bool dropout keep-mask and the bf16 dropped weights are
+    # regenerated in the backward pass instead of written to HBM.
+    # Forward is bit-identical to the unfused bf16-residual path (same
+    # ops, same RNG draws); gradients agree to rounding (hand-written
+    # einsum cotangents accumulate in a different order than AD's).
+    # Active only where that path is (bf16 compute, key length <= 1024)
+    # and dropout is on.  Measurements: docs/PERFORMANCE.md "Finding 6".
+    fused_attn_bwd: bool = True
     # Rematerialize each encoder/decoder layer in the backward pass
     # (jax.checkpoint, nothing-saveable): the f32 (B, H, T, S) attention
     # score/weight temporaries and dropout masks are recomputed instead of
@@ -135,6 +148,71 @@ def _softmax_bf16_bwd(w_bf16, g):
 _softmax_bf16_residual.defvjp(_softmax_bf16_fwd, _softmax_bf16_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _attn_weights_dropout_matmul(scores, v, rng, any_valid, rate, dtype):
+    """softmax -> pad-row zero -> cast -> dropout -> V-matmul with a fused
+    backward pass that stores ONE residual for the whole chain.
+
+    The straight-line version keeps three (B, H, T, S)-sized residuals per
+    attention block: the bf16 softmax output (softmax VJP), the bool
+    dropout keep-mask (dropout-where VJP), and the bf16 dropped weights
+    (V-matmul VJP).  This fusion saves only the bf16 weights and the
+    uint32 RNG key; the backward pass regenerates the keep-mask from the
+    key (bit-identical — same ``jax.random.bernoulli`` call on the same
+    key) and rebuilds the dropped weights with one elementwise select.
+    Forward values are bit-identical to the unfused bf16-residual path
+    (every op, dtype and RNG draw is the same); gradients agree to
+    rounding — the hand-written einsum cotangents accumulate in a
+    different order than the AD-generated ones.  Measurements:
+    docs/PERFORMANCE.md "Finding 6".
+
+    Args: scores f32 (B, H, T, S); v (B, S, H, hd) in ``dtype``; rng a raw
+    uint32 PRNG key; any_valid f32 0/1 (B, 1, T, 1) marking query rows
+    with at least one attendable key (multiplying by 0/1 is bit-identical
+    to the unfused ``where`` on finite softmax outputs).  Returns
+    (out (B, T, H, hd), dropped weights (B, H, T, S) in ``dtype``).
+    """
+    w = jax.nn.softmax(scores, axis=-1) * any_valid
+    w = w.astype(dtype)
+    keep = jax.random.bernoulli(rng, 1.0 - rate, w.shape)
+    wd = jnp.where(keep, w / (1.0 - rate), 0.0)
+    out = jnp.einsum("bhts,bshd->bthd", wd, v)
+    return out, wd
+
+
+def _attn_wdm_fwd(scores, v, rng, any_valid, rate, dtype):
+    w = jax.nn.softmax(scores, axis=-1) * any_valid
+    w = w.astype(dtype)
+    keep = jax.random.bernoulli(rng, 1.0 - rate, w.shape)
+    wd = jnp.where(keep, w / (1.0 - rate), 0.0)
+    out = jnp.einsum("bhts,bshd->bthd", wd, v)
+    # residual: the post-zero bf16 weights + the key.  keep/wd are
+    # recomputed in the backward pass instead of stored; any_valid rides
+    # along (tiny) only to size its zero cotangent.
+    return (out, wd), (w, v, rng, any_valid)
+
+
+def _attn_wdm_bwd(rate, dtype, res, gs):
+    g, g_wd = gs
+    w, v, rng, any_valid = res
+    keep = jax.random.bernoulli(rng, 1.0 - rate, w.shape)
+    wd = jnp.where(keep, w / (1.0 - rate), 0.0)
+    dv = jnp.einsum("bhts,bthd->bshd", wd, g)
+    dwd = jnp.einsum("bthd,bshd->bhts", g, v) + g_wd
+    # dropout-where VJP, then the cast back to f32
+    dw = jnp.where(keep, dwd / (1.0 - rate), 0.0).astype(jnp.float32)
+    # pad-row zeroing needs no explicit VJP term: w is already zero on
+    # those rows, so the softmax VJP below emits zero gradient there —
+    # matching the unfused where(any_valid, ...) backward exactly.
+    w32 = w.astype(jnp.float32)
+    ds = w32 * (dw - jnp.sum(w32 * dw, axis=-1, keepdims=True))
+    f0 = functools.partial(np.zeros, dtype=jax.dtypes.float0)
+    return ds, dv, f0(rng.shape), jnp.zeros_like(any_valid)
+
+
+_attn_weights_dropout_matmul.defvjp(_attn_wdm_fwd, _attn_wdm_bwd)
+
+
 class MultiHeadAttention(nn.Module):
     """Einsum MHA with separable K/V projection for cache priming."""
 
@@ -172,11 +250,36 @@ class MultiHeadAttention(nn.Module):
         scores = scores / math.sqrt(c.head_dim)
         if mask is not None:
             scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
-        if (
+        bf16_residual_ok = (
             c.bf16_attn_residual
             and c.dtype == jnp.bfloat16
             and scores.shape[-1] <= _BF16_RESIDUAL_MAX_KLEN
+        )
+        if (
+            bf16_residual_ok
+            and c.fused_attn_bwd
+            and c.dropout > 0.0
+            and not deterministic
         ):
+            rng = self.make_rng("dropout")
+            if not jnp.issubdtype(rng.dtype, jax.dtypes.prng_key):
+                if mask is not None:
+                    any_valid = jnp.any(mask, axis=-1, keepdims=True)
+                    any_valid = any_valid.astype(jnp.float32)
+                else:
+                    any_valid = jnp.ones((1, 1, 1, 1), jnp.float32)
+                out, weights = _attn_weights_dropout_matmul(
+                    scores, v, rng, any_valid, c.dropout, c.dtype
+                )
+                out = out.reshape(B, T, c.d_model)
+                return self.out_proj(out), weights.astype(jnp.float32).mean(axis=1)
+            # typed PRNG keys fall through to the unfused path (the fused
+            # VJP stores the key as raw uint32 residual); reuse the drawn
+            # key below so RNG draws stay identical either way.
+            drawn_rng = rng
+        else:
+            drawn_rng = None
+        if bf16_residual_ok:
             weights = _softmax_bf16_residual(scores)
         else:
             weights = jax.nn.softmax(scores, axis=-1)
@@ -186,7 +289,7 @@ class MultiHeadAttention(nn.Module):
             weights = jnp.where(any_valid, weights, 0.0)
         weights = weights.astype(c.dtype)
         if c.dropout > 0.0 and not deterministic:
-            rng = self.make_rng("dropout")
+            rng = drawn_rng if drawn_rng is not None else self.make_rng("dropout")
             keep = jax.random.bernoulli(rng, 1.0 - c.dropout, weights.shape)
             weights = jnp.where(keep, weights / (1.0 - c.dropout), 0.0)
         out = jnp.einsum("bhts,bshd->bthd", weights, v).reshape(B, T, c.d_model)

@@ -89,6 +89,7 @@ class Trainer:
             flash_training=cfg.flash_training,
             remat=cfg.remat,
             bf16_attn_residual=cfg.bf16_attn_residual,
+            fused_attn_bwd=cfg.fused_attn_bwd,
         )
         self.tables = build_loss_tables(self.vocab)
         self.mesh = make_mesh(cfg.n_devices or None, tp=cfg.tp)

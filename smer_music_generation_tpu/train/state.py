@@ -161,6 +161,7 @@ def build_model(
     final_norm: bool = True,
     remat: bool = False,
     bf16_attn_residual: bool = True,
+    fused_attn_bwd: bool = True,
 ) -> ScoreTransformer:
     """The flagship config (reference ``config/config.yaml:26-43``)."""
     cfg = ModelConfig(
@@ -178,6 +179,7 @@ def build_model(
         final_norm=final_norm,
         remat=remat,
         bf16_attn_residual=bf16_attn_residual,
+        fused_attn_bwd=fused_attn_bwd,
     )
     return ScoreTransformer(cfg)
 

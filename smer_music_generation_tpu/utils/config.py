@@ -51,6 +51,11 @@ class ExperimentConfig:
     # at packed shapes; gradients round through bf16 — flip off to replay
     # runs trained before the flag; docs/PERFORMANCE.md Finding 5)
     bf16_attn_residual: bool = True
+    # fused softmax->dropout->V-matmul backward: one bf16 residual plus
+    # the RNG key instead of three (B, H, T, S) residuals; forward
+    # bit-identical, gradients rounding-equal to the unfused path
+    # (docs/PERFORMANCE.md Finding 6)
+    fused_attn_bwd: bool = True
 
     # optimisation
     lr: float = 1e-4
@@ -132,6 +137,7 @@ class ExperimentConfig:
         parser.add_argument("--no_bf16", action="store_true")
         parser.add_argument("--no_rbg_rng", action="store_true")
         parser.add_argument("--no_bf16_attn_residual", action="store_true")
+        parser.add_argument("--no_fused_attn_bwd", action="store_true")
         parser.add_argument("--pretraining_epochs", type=int,
                             default=defaults.pretraining_epochs)
         parser.add_argument("--print_every", type=int, default=defaults.print_every)
@@ -160,6 +166,7 @@ class ExperimentConfig:
             bf16=not args.no_bf16,
             rbg_rng=not args.no_rbg_rng,
             bf16_attn_residual=not args.no_bf16_attn_residual,
+            fused_attn_bwd=not args.no_fused_attn_bwd,
             pretraining_epochs=args.pretraining_epochs,
             print_every=args.print_every,
         )

@@ -322,3 +322,65 @@ def test_bf16_attn_residual_gradient_parity():
         jax.tree_util.tree_leaves(g_on32), jax.tree_util.tree_leaves(g_off32)
     ):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_attn_bwd_bit_identical():
+    """ModelConfig.fused_attn_bwd changes what is STORED between the
+    passes, not the forward computation: with identical dropout keys,
+    train-mode loss is bit-identical to the unfused bf16-residual path
+    (same ops, same RNG draws).  Gradients agree to rounding: the
+    hand-written einsum cotangents accumulate in a different order than
+    the AD-generated ones, so bitwise equality is not expected."""
+    import dataclasses
+
+    def run(fused):
+        cfg = dataclasses.replace(
+            CFG, dtype=jnp.bfloat16, dropout=0.1, pos_dropout=0.1,
+            bf16_attn_residual=True, fused_attn_bwd=fused,
+        )
+        m = ScoreTransformer(cfg)
+        src = jnp.asarray(np.random.default_rng(2).integers(1, V, (2, 12)), jnp.int32)
+        tgt = jnp.asarray(np.random.default_rng(3).integers(1, V, (2, 8)), jnp.int32)
+        params = m.init({"params": jax.random.PRNGKey(0)}, src, tgt)
+
+        def loss(p):
+            logits, _ = m.apply(p, src, tgt, deterministic=False,
+                                rngs={"dropout": jax.random.PRNGKey(7)})
+            return (logits.astype(jnp.float32) ** 2).mean()
+
+        l, g = jax.jit(jax.value_and_grad(loss))(params)
+        return l, g
+
+    l_f, g_f = run(True)
+    l_u, g_u = run(False)
+    assert np.array_equal(np.asarray(l_f), np.asarray(l_u))
+    leaves = list(
+        zip(jax.tree_util.tree_leaves(g_f), jax.tree_util.tree_leaves(g_u))
+    )
+    global_scale = max(
+        float(np.linalg.norm(np.asarray(b, np.float32))) for _, b in leaves
+    )
+    for a, b in leaves:
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        if max(np.linalg.norm(a), np.linalg.norm(b)) < 1e-3 * global_scale:
+            continue  # near-zero true gradient: both sides rounding noise
+        err = np.linalg.norm(a - b) / np.linalg.norm(b)
+        assert err < 0.02, (a.shape, err)
+
+
+def test_fused_attn_bwd_inert_when_gated_off():
+    """The fused path must not engage under f32 compute or deterministic
+    passes: logits with fused_attn_bwd on/off are bit-identical there."""
+    import dataclasses
+
+    src = jnp.asarray(np.random.default_rng(4).integers(1, V, (2, 10)), jnp.int32)
+    tgt = jnp.asarray(np.random.default_rng(5).integers(1, V, (2, 6)), jnp.int32)
+    for base in (CFG, dataclasses.replace(CFG, dtype=jnp.bfloat16)):
+        outs = []
+        for fused in (True, False):
+            m = ScoreTransformer(dataclasses.replace(base, fused_attn_bwd=fused))
+            params = m.init({"params": jax.random.PRNGKey(0)}, src, tgt)
+            logits, _ = m.apply(params, src, tgt)  # deterministic
+            outs.append(np.asarray(logits, np.float32))
+        assert np.array_equal(outs[0], outs[1])
