@@ -39,7 +39,7 @@ def main():
     ap.add_argument("--no_rbg", action="store_true", help="threefry dropout RNG")
     ap.add_argument("--no_bf16_residual", action="store_true",
                     help="f32 attention-softmax residual (pre-Finding-5 step)")
-    ap.add_argument("--no_fused_bwd", action="store_true",
+    ap.add_argument("--no_fused_attn_bwd", action="store_true",
                     help="unfused attention backward (pre-Finding-6 step)")
     ap.add_argument("--real_shapes", action="store_true",
                     help="sweep the real packed-loader regime instead of the "
@@ -70,7 +70,7 @@ def main():
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     model = build_model(vocab.vocab_size, dtype=dtype, remat=args.remat,
                         bf16_attn_residual=not args.no_bf16_residual,
-                        fused_attn_bwd=not args.no_fused_bwd)
+                        fused_attn_bwd=not args.no_fused_attn_bwd)
     params = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(0)},
         jnp.ones((1, 64), jnp.int32), jnp.ones((1, 64), jnp.int32),

@@ -165,6 +165,7 @@ class Trainer:
         from ..utils.profiling import StepTimer
 
         losses = []
+        grad_norms = []
         acc_correct = defaultdict(float)
         acc_count = defaultdict(float)
         names = self.tables["class_names"]
@@ -196,6 +197,8 @@ class Trainer:
                 continue
             self.state = new_state
             losses.append(loss_val)
+            grad_norms.append(float(m["grad_norm"]))
+            last_param_norm = float(m["param_norm"])
             for n, c, k in zip(names, m["correct_per_class"], m["count_per_class"]):
                 acc_correct[n] += c
                 acc_count[n] += k
@@ -209,7 +212,14 @@ class Trainer:
                     "total_accuracy": float(m["accuracy"]),
                     "lr": float(self.state.lr),
                 }
-                record.update({k: float(v) for k, v in m.items() if k.startswith("loss/")})
+                record.update(
+                    {
+                        k: float(v)
+                        for k, v in m.items()
+                        if k.startswith(("loss/", "gnorm/", "pnorm/"))
+                        or k in ("grad_norm", "param_norm")
+                    }
+                )
                 self.metrics.log(record, step=int(self.state.step))
                 self.logger.info(
                     f"epoch {epoch + 1} step {step + 1}: loss {record['train_loss']:.4f} "
@@ -223,6 +233,19 @@ class Trainer:
                 )
         if timer.durations:
             self.metrics.log({**timer.summary(), "epoch": epoch}, step=int(self.state.step))
+        if grad_norms:
+            # per-epoch gradient-health summary (the wandb.watch gap,
+            # reference train.py:661): mean/max grad norm over the epoch
+            # plus the end-of-epoch global param norm
+            self.metrics.log(
+                {
+                    "epoch_grad_norm_mean": float(np.mean(grad_norms)),
+                    "epoch_grad_norm_max": float(np.max(grad_norms)),
+                    "epoch_param_norm": last_param_norm,
+                    "epoch": epoch,
+                },
+                step=int(self.state.step),
+            )
         return float(np.mean(losses)) if losses else float("inf")
 
     def evaluate(self, loader: Iterable, eos_weight: float) -> Dict[str, float]:

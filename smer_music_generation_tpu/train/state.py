@@ -71,6 +71,27 @@ def make_train_step(model: ScoreTransformer, tables: Dict, dropout: bool = True)
         (loss, (per_head, logits)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
+
+        # Gradient/parameter observability (reference: wandb.watch(model,
+        # ..., log="all"), train.py:661, logs grad/param histograms).  The
+        # TPU-shaped equivalent is norm summaries computed inside the same
+        # fused step program: a global L2 over each tree plus one L2 per
+        # top-level module, all scalars in the existing metrics fetch.
+        def _sumsq(tree):
+            return sum(
+                jnp.sum(jnp.square(g.astype(jnp.float32)))
+                for g in jax.tree.leaves(tree)
+            )
+
+        norm_metrics = {
+            "grad_norm": jnp.sqrt(_sumsq(grads)),
+            "param_norm": jnp.sqrt(_sumsq(state.params)),
+        }
+        for name, sub in grads["params"].items():
+            norm_metrics[f"gnorm/{name}"] = jnp.sqrt(_sumsq(sub))
+        for name, sub in state.params["params"].items():
+            norm_metrics[f"pnorm/{name}"] = jnp.sqrt(_sumsq(sub))
+
         tx = make_optimizer()
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         updates = jax.tree.map(lambda u: u * state.lr, updates)
@@ -85,6 +106,7 @@ def make_train_step(model: ScoreTransformer, tables: Dict, dropout: bool = True)
             "correct_per_class": correct_pc,
             "count_per_class": count_pc,
             **{f"loss/{k}": v for k, v in per_head.items()},
+            **norm_metrics,
         }
         new_state = state.replace(
             params=new_params, opt_state=new_opt_state, step=state.step + 1

@@ -369,6 +369,53 @@ def test_fused_attn_bwd_bit_identical():
         assert err < 0.02, (a.shape, err)
 
 
+def test_fused_attn_bwd_inert_f32_train_and_long_klen():
+    """The fused path must stay inert in TRAIN mode (dropout active) under
+    f32 compute, and under bf16 when the key length exceeds the 1024
+    residual gate: train-mode loss AND gradients are bit-identical with
+    fused_attn_bwd on/off in both regimes (ADVICE r2)."""
+    import dataclasses
+
+    cases = [
+        # f32 compute, dropout on: the bf16-residual gate is closed
+        (dataclasses.replace(CFG, dropout=0.1, pos_dropout=0.1), 12, 8),
+        # bf16 compute but klen > 1024: the _BF16_RESIDUAL_MAX_KLEN gate
+        (
+            dataclasses.replace(
+                CFG, dtype=jnp.bfloat16, dropout=0.1, pos_dropout=0.1,
+                max_len=2048,
+            ),
+            1030,
+            6,
+        ),
+    ]
+    for base, S, T in cases:
+        src = jnp.asarray(
+            np.random.default_rng(6).integers(1, V, (1, S)), jnp.int32
+        )
+        tgt = jnp.asarray(
+            np.random.default_rng(7).integers(1, V, (1, T)), jnp.int32
+        )
+        outs = []
+        for fused in (True, False):
+            m = ScoreTransformer(dataclasses.replace(base, fused_attn_bwd=fused))
+            params = m.init({"params": jax.random.PRNGKey(0)}, src, tgt)
+
+            def loss(p, m=m):
+                logits, _ = m.apply(
+                    p, src, tgt, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(9)},
+                )
+                return (logits.astype(jnp.float32) ** 2).mean()
+
+            l, g = jax.jit(jax.value_and_grad(loss))(params)
+            outs.append((np.asarray(l), jax.tree_util.tree_leaves(g)))
+        (l_f, g_f), (l_u, g_u) = outs
+        assert np.array_equal(l_f, l_u), (base.dtype, S)
+        for a, b in zip(g_f, g_u):
+            assert np.array_equal(np.asarray(a), np.asarray(b)), (base.dtype, S)
+
+
 def test_fused_attn_bwd_inert_when_gated_off():
     """The fused path must not engage under f32 compute or deterministic
     passes: logits with fused_attn_bwd on/off are bit-identical there."""
