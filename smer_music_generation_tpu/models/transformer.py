@@ -93,6 +93,19 @@ class ModelConfig:
     # Active only where that path is (bf16 compute, key length <= 1024)
     # and dropout is on.  Measurements: docs/PERFORMANCE.md "Finding 6".
     fused_attn_bwd: bool = True
+    # Route training-path attention (encoder self, decoder self, cross)
+    # through the pallas fused scores->softmax->dropout->V kernel with a
+    # recompute backward and an in-kernel counter-hash dropout RNG
+    # (ops/train_attention.py): NO O(T*S) residual reaches HBM at all —
+    # the step this replaces still wrote one bf16 (B, H, T, S) residual
+    # per attention block (fused_attn_bwd).  The dropout STREAM differs
+    # from jax.random.bernoulli, so this is a new numerics path: opt-in,
+    # runs trained with it replay only with it.  Engages under bf16
+    # compute, dropout active, raw RNG keys, key length <= 1024 and
+    # 256-multiple query lengths (the collation buckets guarantee the
+    # multiples); everywhere else falls back to the XLA path.
+    # Measurements: docs/PERFORMANCE.md "Finding 7".
+    fused_attn_train: bool = False
     # Rematerialize each encoder/decoder layer in the backward pass
     # (jax.checkpoint, nothing-saveable): the f32 (B, H, T, S) attention
     # score/weight temporaries and dropout masks are recomputed instead of
@@ -240,12 +253,32 @@ class MultiHeadAttention(nn.Module):
         v: Array,
         mask: Optional[Array],
         deterministic: bool,
-    ) -> Tuple[Array, Array]:
+        kv_valid: Optional[Array] = None,
+        causal: bool = False,
+        fused_train: bool = False,
+    ) -> Tuple[Array, Optional[Array]]:
         """q_in: (B, T, D); k/v: (B, S, H, hd); mask: broadcastable to
-        (B, H, T, S), True = attend.  Returns (out, head-avg weights)."""
+        (B, H, T, S), True = attend.  Returns (out, head-avg weights).
+        When ``fused_train`` (caller checked the static gates) and the
+        RNG is a raw key, runs the pallas fused dropout-attention kernel
+        and returns None weights."""
         c = self.cfg
         B, T, _ = q_in.shape
         q = self.q_proj(q_in).reshape(B, T, c.nhead, c.head_dim)
+        fused_drawn_rng = None
+        if fused_train and kv_valid is not None:
+            rng = self.make_rng("dropout")
+            if not jnp.issubdtype(rng.dtype, jax.dtypes.prng_key):
+                from ..ops.train_attention import fused_dropout_attention
+
+                out = fused_dropout_attention(
+                    q, k, v, kv_valid, rng, c.dropout, causal
+                )
+                out = out.reshape(B, T, c.d_model)
+                return self.out_proj(out), None
+            # typed key: fall back to the XLA path, reusing the drawn key
+            # so the RNG stream stays aligned
+            fused_drawn_rng = rng
         scores = jnp.einsum("bthd,bshd->bhts", q, k).astype(jnp.float32)
         scores = scores / math.sqrt(c.head_dim)
         if mask is not None:
@@ -261,7 +294,11 @@ class MultiHeadAttention(nn.Module):
             and c.dropout > 0.0
             and not deterministic
         ):
-            rng = self.make_rng("dropout")
+            rng = (
+                fused_drawn_rng
+                if fused_drawn_rng is not None
+                else self.make_rng("dropout")
+            )
             if not jnp.issubdtype(rng.dtype, jax.dtypes.prng_key):
                 if mask is not None:
                     any_valid = jnp.any(mask, axis=-1, keepdims=True)
@@ -278,7 +315,7 @@ class MultiHeadAttention(nn.Module):
             # key below so RNG draws stay identical either way.
             drawn_rng = rng
         else:
-            drawn_rng = None
+            drawn_rng = fused_drawn_rng
         if bf16_residual_ok:
             weights = _softmax_bf16_residual(scores)
         else:
@@ -295,9 +332,15 @@ class MultiHeadAttention(nn.Module):
         out = jnp.einsum("bhts,bshd->bthd", weights, v).reshape(B, T, c.d_model)
         return self.out_proj(out), weights.astype(jnp.float32).mean(axis=1)
 
-    def __call__(self, q_in, kv_in, mask=None, deterministic=True):
+    def __call__(
+        self, q_in, kv_in, mask=None, deterministic=True,
+        kv_valid=None, causal=False, fused_train=False,
+    ):
         k, v = self.project_kv(kv_in)
-        return self.attend(q_in, k, v, mask, deterministic)
+        return self.attend(
+            q_in, k, v, mask, deterministic,
+            kv_valid=kv_valid, causal=causal, fused_train=fused_train,
+        )
 
     def attend_flash(self, q_in: Array, kv_in: Array, kv_valid_len: Array) -> Array:
         """Fused (flash) self-attention; no weights returned, no dropout."""
@@ -373,13 +416,19 @@ class EncoderLayer(nn.Module):
         self.drop1 = nn.Dropout(rate=c.dropout)
         self.drop2 = nn.Dropout(rate=c.dropout)
 
-    def __call__(self, x, mask, deterministic=True, kv_valid_len=None, kv_valid=None):
+    def __call__(
+        self, x, mask, deterministic=True, kv_valid_len=None, kv_valid=None,
+        fused_train=False,
+    ):
         if kv_valid is not None and self.cfg.flash_training:
             attn_out = self.self_attn.attend_flash_vjp(x, x, kv_valid, causal=False)
         elif kv_valid_len is not None and deterministic and self.cfg.flash_encoder:
             attn_out = self.self_attn.attend_flash(x, x, kv_valid_len)
         else:
-            attn_out, _ = self.self_attn(x, x, mask, deterministic)
+            attn_out, _ = self.self_attn(
+                x, x, mask, deterministic,
+                kv_valid=kv_valid, causal=False, fused_train=fused_train,
+            )
         x = self.norm1(x + self.drop1(attn_out, deterministic=deterministic))
         x = self.norm2(x + self.drop2(self.ff(x, deterministic), deterministic=deterministic))
         return x
@@ -402,7 +451,7 @@ class DecoderLayer(nn.Module):
 
     def __call__(
         self, x, memory, self_mask, cross_mask, deterministic=True,
-        tgt_valid=None, mem_valid=None,
+        tgt_valid=None, mem_valid=None, fused_train=False,
     ):
         if tgt_valid is not None and self.cfg.flash_training:
             attn_out = self.self_attn.attend_flash_vjp(x, x, tgt_valid, causal=True)
@@ -412,9 +461,15 @@ class DecoderLayer(nn.Module):
             )
             cross_weights = None
         else:
-            attn_out, _ = self.self_attn(x, x, self_mask, deterministic)
+            attn_out, _ = self.self_attn(
+                x, x, self_mask, deterministic,
+                kv_valid=tgt_valid, causal=True, fused_train=fused_train,
+            )
             x = self.norm1(x + self.drop1(attn_out, deterministic=deterministic))
-            cross_out, cross_weights = self.cross_attn(x, memory, cross_mask, deterministic)
+            cross_out, cross_weights = self.cross_attn(
+                x, memory, cross_mask, deterministic,
+                kv_valid=mem_valid, causal=False, fused_train=fused_train,
+            )
         x = self.norm2(x + self.drop2(cross_out, deterministic=deterministic))
         x = self.norm3(x + self.drop3(self.ff(x, deterministic), deterministic=deterministic))
         return x, cross_weights
@@ -476,26 +531,45 @@ class ScoreTransformer(nn.Module):
         x = x + pos.astype(x.dtype)
         return self.pos_dropout(x, deterministic=deterministic)
 
+    def _fused_train_ok(self, deterministic: bool, T: int, S: int) -> bool:
+        """Static gate for the pallas fused dropout-attention kernel."""
+        from ..ops.train_attention import DEFAULT_BLK_Q, MAX_KLEN
+
+        c = self.cfg
+        return (
+            c.fused_attn_train
+            and not deterministic
+            and c.dropout > 0.0
+            and c.dtype == jnp.bfloat16
+            and T % DEFAULT_BLK_Q == 0
+            and S % 128 == 0
+            and S <= MAX_KLEN
+        )
+
     def encode(self, src: Array, src_pad_mask: Optional[Array] = None, deterministic: bool = True) -> Array:
         """src: (B, S) int32; src_pad_mask: (B, S) True = PAD (suffix)."""
         x = self.embed(src, deterministic=deterministic)
         attn_mask = None
         kv_valid_len = None
         kv_valid = None
+        fused_train = self._fused_train_ok(deterministic, src.shape[1], src.shape[1])
+        want_valid = (
+            self.cfg.flash_training and src.shape[1] % 128 == 0
+        ) or fused_train
         if src_pad_mask is not None:
             attn_mask = (~src_pad_mask)[:, None, None, :]  # (B,1,1,S) True=attend
             if self.cfg.flash_encoder:
                 kv_valid_len = jnp.sum(~src_pad_mask, axis=1).astype(jnp.int32)
-            if self.cfg.flash_training and src.shape[1] % 128 == 0:
+            if want_valid:
                 kv_valid = ~src_pad_mask
         else:
             if self.cfg.flash_encoder:
                 kv_valid_len = jnp.full((src.shape[0],), src.shape[1], dtype=jnp.int32)
-            if self.cfg.flash_training and src.shape[1] % 128 == 0:
+            if want_valid:
                 kv_valid = jnp.ones(src.shape, bool)
         for layer in self.encoder_layers:
             x = layer(x, attn_mask, deterministic, kv_valid_len=kv_valid_len,
-                      kv_valid=kv_valid)
+                      kv_valid=kv_valid, fused_train=fused_train)
         if self.cfg.final_norm:
             x = self.norm_e(x)
         return x
@@ -542,13 +616,34 @@ class ScoreTransformer(nn.Module):
         cross_mask = None
         if memory_pad_mask is not None:
             cross_mask = (~memory_pad_mask)[:, None, None, :]
+        # fused kernel gate: the decoder layer routes BOTH its attentions
+        # through the kernel, so self (S=T) and cross (S=memory) must pass
+        fused_train = self._fused_train_ok(
+            deterministic, T, T
+        ) and self._fused_train_ok(deterministic, T, memory.shape[1])
+        tgt_valid = mem_valid = None
+        if fused_train:
+            tgt_valid = (
+                ~tgt_pad_mask if tgt_pad_mask is not None
+                else jnp.ones((B, T), bool)
+            )
+            mem_valid = (
+                ~memory_pad_mask if memory_pad_mask is not None
+                else jnp.ones(memory.shape[:2], bool)
+            )
         all_weights = []
         for layer in self.decoder_layers:
-            x, w = layer(x, memory, self_mask, cross_mask, deterministic)
+            x, w = layer(
+                x, memory, self_mask, cross_mask, deterministic,
+                tgt_valid=tgt_valid, mem_valid=mem_valid,
+                fused_train=fused_train,
+            )
             all_weights.append(w)
         if self.cfg.final_norm:
             x = self.norm_d(x)
         logits = self.fc(x.astype(jnp.float32))
+        if any(w is None for w in all_weights):
+            return logits, None  # fused-kernel path returns no weights
         return logits, jnp.stack(all_weights, axis=1)  # (B, L, T, S)
 
     def __call__(

@@ -90,6 +90,7 @@ class Trainer:
             remat=cfg.remat,
             bf16_attn_residual=cfg.bf16_attn_residual,
             fused_attn_bwd=cfg.fused_attn_bwd,
+            fused_attn_train=cfg.fused_attn_train,
         )
         self.tables = build_loss_tables(self.vocab)
         self.mesh = make_mesh(cfg.n_devices or None, tp=cfg.tp)

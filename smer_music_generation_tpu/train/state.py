@@ -184,6 +184,7 @@ def build_model(
     remat: bool = False,
     bf16_attn_residual: bool = True,
     fused_attn_bwd: bool = True,
+    fused_attn_train: bool = False,
 ) -> ScoreTransformer:
     """The flagship config (reference ``config/config.yaml:26-43``)."""
     cfg = ModelConfig(
@@ -202,6 +203,7 @@ def build_model(
         remat=remat,
         bf16_attn_residual=bf16_attn_residual,
         fused_attn_bwd=fused_attn_bwd,
+        fused_attn_train=fused_attn_train,
     )
     return ScoreTransformer(cfg)
 

@@ -56,6 +56,11 @@ class ExperimentConfig:
     # bit-identical, gradients rounding-equal to the unfused path
     # (docs/PERFORMANCE.md Finding 6)
     fused_attn_bwd: bool = True
+    # full pallas fused dropout-attention (fwd + recompute bwd, in-kernel
+    # counter-hash dropout RNG): no O(T*S) residual reaches HBM at all.
+    # A DIFFERENT dropout stream than jax.random — opt-in; runs trained
+    # with it replay only with it (docs/PERFORMANCE.md Finding 7)
+    fused_attn_train: bool = False
 
     # optimisation
     lr: float = 1e-4
@@ -138,6 +143,7 @@ class ExperimentConfig:
         parser.add_argument("--no_rbg_rng", action="store_true")
         parser.add_argument("--no_bf16_attn_residual", action="store_true")
         parser.add_argument("--no_fused_attn_bwd", action="store_true")
+        parser.add_argument("--fused_attn_train", action="store_true")
         parser.add_argument("--pretraining_epochs", type=int,
                             default=defaults.pretraining_epochs)
         parser.add_argument("--print_every", type=int, default=defaults.print_every)
@@ -167,6 +173,7 @@ class ExperimentConfig:
             rbg_rng=not args.no_rbg_rng,
             bf16_attn_residual=not args.no_bf16_attn_residual,
             fused_attn_bwd=not args.no_fused_attn_bwd,
+            fused_attn_train=args.fused_attn_train,
             pretraining_epochs=args.pretraining_epochs,
             print_every=args.print_every,
         )
