@@ -321,6 +321,31 @@ def _reject_bait(rng) -> MidiScore:
     return song
 
 
+def _tension_arc(song: MidiScore, rng) -> MidiScore:
+    """Chromatic phrase arcs for the TENSILE axis (VERDICT r2 task 9).
+
+    The diatonic progressions keep the per-bar pitch centroid near the
+    key center, so the corpus's tensile strain concentrates in the low
+    bins and the model has little signal to learn (best tensile acc
+    0.376 after 20 epochs).  This post-pass transposes whole 4-bar
+    phrases by a sampled chromatic offset following a tension arc
+    (calm -> tense -> release): out-of-key phrases push the spiral-array
+    centroid away from the key position, spreading s_* across bins.
+    """
+    sig = song.time_signature_changes[0]
+    quarter = 60.0 / song.initial_tempo
+    bdur = bar_seconds((sig.numerator, sig.denominator), quarter)
+    # arc of per-phrase chromatic offsets; 0 anchors the key vote
+    arc = [0, int(rng.choice([1, 3, 4, 6])), int(rng.choice([2, 6, 8])), 0]
+    if rng.random() < 0.5:
+        arc[1], arc[2] = arc[2], arc[1]
+    for inst in song.instruments:
+        for n in inst.notes:
+            phrase = int(n.start // (4 * bdur)) % len(arc)
+            n.pitch = int(np.clip(n.pitch + arc[phrase], 21, 108))
+    return song
+
+
 def make_adversarial_song(rng: np.random.Generator):
     """Returns (song, category) so acceptance can be attributed per class."""
     r = rng.random()
@@ -344,6 +369,11 @@ def main(argv=None) -> int:
     ap.add_argument("-n", "--n_songs", type=int, default=300)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument(
+        "--tension_contrast", action="store_true",
+        help="chromatic 4-bar phrase arcs: widens the tensile-strain "
+             "distribution the s_* tokens are binned from",
+    )
+    ap.add_argument(
         "--adversarial", action="store_true",
         help="off-happy-path corpus: humanized timing, tempo drift, "
              "cluster chords, degenerate/drum tracks, reject-bait songs",
@@ -359,6 +389,8 @@ def main(argv=None) -> int:
             song, category = make_adversarial_song(rng)
         else:
             song, category = make_song(rng), "clean"
+        if args.tension_contrast and category == "clean":
+            song = _tension_arc(song, rng)
         if not song.instruments:
             continue
         name = f"song_{i:04d}.mid"
