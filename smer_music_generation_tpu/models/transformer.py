@@ -417,9 +417,13 @@ class EncoderLayer(nn.Module):
         self.drop2 = nn.Dropout(rate=c.dropout)
 
     def __call__(
-        self, x, mask, deterministic=True, kv_valid_len=None, kv_valid=None,
-        fused_train=False,
+        self, x, mask, deterministic=True, fused_train=False,
+        kv_valid_len=None, kv_valid=None,
     ):
+        # NOTE: ``deterministic`` and ``fused_train`` are plain Python
+        # bools and must stay POSITIONAL at the call sites — under
+        # cfg.remat they are nn.remat static_argnums (keyword args would
+        # be traced and break `if fused_train` with a TracerBoolError).
         if kv_valid is not None and self.cfg.flash_training:
             attn_out = self.self_attn.attend_flash_vjp(x, x, kv_valid, causal=False)
         elif kv_valid_len is not None and deterministic and self.cfg.flash_encoder:
@@ -451,8 +455,10 @@ class DecoderLayer(nn.Module):
 
     def __call__(
         self, x, memory, self_mask, cross_mask, deterministic=True,
-        tgt_valid=None, mem_valid=None, fused_train=False,
+        fused_train=False, tgt_valid=None, mem_valid=None,
     ):
+        # deterministic/fused_train: static positionals under remat (see
+        # EncoderLayer.__call__ note)
         if tgt_valid is not None and self.cfg.flash_training:
             attn_out = self.self_attn.attend_flash_vjp(x, x, tgt_valid, causal=True)
             x = self.norm1(x + self.drop1(attn_out, deterministic=deterministic))
@@ -504,11 +510,12 @@ class ScoreTransformer(nn.Module):
         enc_cls, dec_cls = EncoderLayer, DecoderLayer
         if c.remat:
             # static_argnums counts the bound module as arg 0:
-            # EncoderLayer(self, x, mask, deterministic, ...) -> 3,
-            # DecoderLayer(self, x, memory, self_mask, cross_mask,
-            # deterministic, ...) -> 5.  Param tree is unchanged.
-            enc_cls = nn.remat(EncoderLayer, static_argnums=(3,))
-            dec_cls = nn.remat(DecoderLayer, static_argnums=(5,))
+            # EncoderLayer(self, x, mask, deterministic, fused_train, ...)
+            # -> (3, 4); DecoderLayer(self, x, memory, self_mask,
+            # cross_mask, deterministic, fused_train, ...) -> (5, 6).
+            # Param tree is unchanged.
+            enc_cls = nn.remat(EncoderLayer, static_argnums=(3, 4))
+            dec_cls = nn.remat(DecoderLayer, static_argnums=(5, 6))
         self.encoder_layers = [
             enc_cls(c, name=f"encoder_{i}") for i in range(c.num_encoder_layers)
         ]
@@ -568,8 +575,8 @@ class ScoreTransformer(nn.Module):
             if want_valid:
                 kv_valid = jnp.ones(src.shape, bool)
         for layer in self.encoder_layers:
-            x = layer(x, attn_mask, deterministic, kv_valid_len=kv_valid_len,
-                      kv_valid=kv_valid, fused_train=fused_train)
+            x = layer(x, attn_mask, deterministic, fused_train,
+                      kv_valid_len=kv_valid_len, kv_valid=kv_valid)
         if self.cfg.final_norm:
             x = self.norm_e(x)
         return x
@@ -634,9 +641,8 @@ class ScoreTransformer(nn.Module):
         all_weights = []
         for layer in self.decoder_layers:
             x, w = layer(
-                x, memory, self_mask, cross_mask, deterministic,
+                x, memory, self_mask, cross_mask, deterministic, fused_train,
                 tgt_valid=tgt_valid, mem_valid=mem_valid,
-                fused_train=fused_train,
             )
             all_weights.append(w)
         if self.cfg.final_norm:

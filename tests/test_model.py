@@ -379,14 +379,16 @@ def test_fused_attn_bwd_inert_f32_train_and_long_klen():
     cases = [
         # f32 compute, dropout on: the bf16-residual gate is closed
         (dataclasses.replace(CFG, dropout=0.1, pos_dropout=0.1), 12, 8),
-        # bf16 compute but klen > 1024: the _BF16_RESIDUAL_MAX_KLEN gate
+        # bf16 compute but klen > 1024 for EVERY attention (src and tgt
+        # both past the gate — a short tgt would leave the decoder
+        # self-attention, klen = tgt, legitimately fused)
         (
             dataclasses.replace(
                 CFG, dtype=jnp.bfloat16, dropout=0.1, pos_dropout=0.1,
                 max_len=2048,
             ),
             1030,
-            6,
+            1030,
         ),
     ]
     for base, S, T in cases:
