@@ -56,15 +56,17 @@ def cell(leg: dict, axis: str, rng: np.random.Generator) -> str:
     return f"{d['mean_abs_diff']:.2f} [{lo:.2f}, {hi:.2f}]"
 
 
-def diff_ci(a: dict, b: dict, axis: str, rng: np.random.Generator) -> str:
+def diff_ci(a: dict, b: dict, axis: str, rng: np.random.Generator, indep: bool = False) -> str:
     da, db = a.get(axis), b.get(axis)
     if not da or not db or not da.get("n") or not db.get("n"):
         return "—"
     xa = np.asarray(da["diffs"], dtype=np.float64)
     xb = np.asarray(db["diffs"], dtype=np.float64)
     delta = float(xb.mean() - xa.mean())
-    if len(xa) == len(xb):
-        # paired: same seeded windows in the same order
+    if len(xa) == len(xb) and not indep:
+        # paired: same seeded windows in the same order (the caller must
+        # ensure the legs really share windows — equal length alone is
+        # necessary, not sufficient; use --indep otherwise)
         d = xb - xa
         idx = rng.integers(0, len(d), size=(N_BOOT, len(d)))
         boots = d[idx].mean(axis=1)
@@ -85,8 +87,13 @@ def main(argv=None) -> int:
     ap.add_argument("--time-stats", action="store_true")
     ap.add_argument(
         "--diff", nargs=2, metavar=("A", "B"), action="append", default=[],
-        help="append a mean_B - mean_A difference table for named columns",
+        help="append a mean_B - mean_A difference table for named columns "
+             "(paired resampling iff the legs evaluated the SAME seeded "
+             "windows — asserted only by equal diff counts; pass --indep "
+             "when the legs cover different windows)",
     )
+    ap.add_argument("--indep", action="store_true",
+                    help="force independent (unpaired) resampling in --diff")
     args = ap.parse_args(argv)
 
     cols = []
@@ -114,7 +121,7 @@ def main(argv=None) -> int:
         print("| control | delta [95% CI] |")
         print("|---|---|")
         for axis, label in AXES:
-            print(f"| {label} | {diff_ci(by_name[a_name], by_name[b_name], axis, rng)} |")
+            print(f"| {label} | {diff_ci(by_name[a_name], by_name[b_name], axis, rng, args.indep)} |")
 
     if args.time_stats:
         for name, leg in cols:

@@ -389,7 +389,9 @@ def main(argv=None) -> int:
             song, category = make_adversarial_song(rng)
         else:
             song, category = make_song(rng), "clean"
-        if args.tension_contrast and category == "clean":
+        if args.tension_contrast and category != "reject_bait":
+            # applies to adversarial categories too (a silent clean-only
+            # gate would make the flag a no-op under --adversarial)
             song = _tension_arc(song, rng)
         if not song.instruments:
             continue

@@ -102,8 +102,8 @@ class ModelConfig:
     # from jax.random.bernoulli, so this is a new numerics path: opt-in,
     # runs trained with it replay only with it.  Engages under bf16
     # compute, dropout active, raw RNG keys, key length <= 1024 and
-    # 256-multiple query lengths (the collation buckets guarantee the
-    # multiples); everywhere else falls back to the XLA path.
+    # 128-multiple query lengths (the real packed-loader buckets — e.g.
+    # 640/384 — are 128-multiples); everywhere else falls back to XLA.
     # Measurements: docs/PERFORMANCE.md "Finding 7".
     fused_attn_train: bool = False
     # Rematerialize each encoder/decoder layer in the backward pass
@@ -608,7 +608,7 @@ class ScoreTransformer(nn.Module):
             )
             for layer in self.decoder_layers:
                 x, _ = layer(
-                    x, memory, None, None, deterministic,
+                    x, memory, None, None, deterministic, False,
                     tgt_valid=tgt_valid, mem_valid=mem_valid,
                 )
             if self.cfg.final_norm:

@@ -12,7 +12,7 @@ largest remaining HBM term (Finding 5/6 bound analysis).
 
 This kernel stores NO O(T*S) residual at all:
 
-* forward: grid ``(B*H, T/blk_q)``; each program loads its q block plus
+* forward: grid ``(B*H, T/128)``; each program loads its q block plus
   the full (S, D) K/V for the batch-head (S <= 1024 by the same static
   gate as the bf16 residual), computes the full (blk_q, S) score block in
   VMEM, does an exact (non-online) f32 softmax, generates the dropout
@@ -49,10 +49,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-DEFAULT_BLK_Q = 256
+DEFAULT_BLK_Q = 128
 # static shape gate, matches models/transformer._BF16_RESIDUAL_MAX_KLEN:
 # the full (S, D) K/V and (blk_q, S) scores must fit VMEM
 MAX_KLEN = 1024
+
+
+def _bf16_round(x: float) -> float:
+    """Static bf16 rounding of a Python float (trace-safe constant)."""
+    import ml_dtypes
+
+    return float(np.asarray(x).astype(ml_dtypes.bfloat16))
 
 
 def _keep_threshold(rate: float) -> np.uint32:
@@ -216,7 +223,10 @@ def _bwd_kernel(
             g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         if rate > 0.0:
-            dw = jnp.where(keep, dwd / (1.0 - rate), 0.0)
+            # the forward divided by the BF16-ROUNDED (1 - rate); the true
+            # VJP uses that same constant (f32 1/(1-rate) would carry a
+            # systematic ~0.17% scale bias at rate=0.1)
+            dw = jnp.where(keep, dwd / _bf16_round(1.0 - rate), 0.0)
         else:
             dw = dwd
         # softmax VJP (w already zero on masked/no-valid-key rows)

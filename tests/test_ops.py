@@ -619,9 +619,10 @@ def test_fused_train_attention_causal_and_degenerate_rows():
 
 
 def test_fused_train_attention_gradients_vs_twin():
-    """Kernel VJP vs jax.grad of the twin with the identical mask: dv is
-    exact (same contraction), dq/dk agree to the bf16-cotangent rounding
-    the fused-bwd family accepts (<2% relative)."""
+    """Kernel VJP vs jax.grad of the twin with the identical mask: dv
+    agrees to f32 accumulation-order noise (the kernel sums per-q-block
+    partials, the twin one einsum — ~1e-5 relative), dq/dk to the
+    bf16-cotangent rounding the fused-bwd family accepts (<2%)."""
     from smer_music_generation_tpu.ops.train_attention import (
         attention_dropout_twin,
         dropout_mask_reference,
@@ -650,7 +651,7 @@ def test_fused_train_attention_gradients_vs_twin():
         a = np.asarray(a, np.float32)
         b = np.asarray(b, np.float32)
         rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-9)
-        limit = 1e-6 if name == "v" else 0.02
+        limit = 1e-4 if name == "v" else 0.02
         assert rel < limit, (name, rel)
 
 
