@@ -113,7 +113,7 @@ def _fwd_kernel(
     q_ref,  # (1, blk_q, D)
     k_ref,  # (1, S, D)
     v_ref,  # (1, S, D)
-    valid_ref,  # (1, S) int32, 1 = attendable key
+    valid_ref,  # (1, 1, S) int32, 1 = attendable key
     o_ref,  # (1, blk_q, D)
     *,
     blk_q: int,
@@ -133,7 +133,7 @@ def _fwd_kernel(
     # mirror the XLA path: the einsum on bf16 inputs emits bf16, upcast after
     s = s.astype(jnp.bfloat16).astype(jnp.float32) * scale
 
-    valid = valid_ref[0] > 0  # (S,)
+    valid = valid_ref[0, 0] > 0  # (S,)
     mask = jnp.broadcast_to(valid[None, :], (blk_q, S))
     if causal:
         rows = jax.lax.broadcasted_iota(jnp.int32, (blk_q, S), 0) + qi * blk_q
@@ -165,7 +165,7 @@ def _bwd_kernel(
     q_ref,  # (1, T, D)
     k_ref,  # (1, S, D)
     v_ref,  # (1, S, D)
-    valid_ref,  # (1, S)
+    valid_ref,  # (1, 1, S)
     g_ref,  # (1, T, D) cotangent of the output
     dq_ref,  # (1, T, D) f32
     dk_ref,  # (1, S, D) f32
@@ -182,7 +182,7 @@ def _bwd_kernel(
     S, D = k.shape
     T = q_ref.shape[1]
     n_q = T // blk_q
-    valid = valid_ref[0] > 0
+    valid = valid_ref[0, 0] > 0
 
     dk_ref[0] = jnp.zeros((S, D), jnp.float32)
     dv_ref[0] = jnp.zeros((S, D), jnp.float32)
@@ -269,7 +269,7 @@ def _run_forward(q, k, v, valid, key, causal, rate, blk_q, interpret):
                 pl.BlockSpec((1, blk_q, D), lambda bh, qi, *_: (bh, qi, 0)),
                 pl.BlockSpec((1, S, D), lambda bh, qi, *_: (bh, 0, 0)),
                 pl.BlockSpec((1, S, D), lambda bh, qi, *_: (bh, 0, 0)),
-                pl.BlockSpec((1, S), lambda bh, qi, *_: (bh, 0)),
+                pl.BlockSpec((1, 1, S), lambda bh, qi, *_: (bh, 0, 0)),
             ],
             out_specs=pl.BlockSpec((1, blk_q, D), lambda bh, qi, *_: (bh, qi, 0)),
         ),
@@ -294,7 +294,7 @@ def _run_backward(q, k, v, valid, key, g, causal, rate, blk_q, interpret):
                 pl.BlockSpec((1, T, D), lambda bh, *_: (bh, 0, 0)),
                 pl.BlockSpec((1, S, D), lambda bh, *_: (bh, 0, 0)),
                 pl.BlockSpec((1, S, D), lambda bh, *_: (bh, 0, 0)),
-                pl.BlockSpec((1, S), lambda bh, *_: (bh, 0)),
+                pl.BlockSpec((1, 1, S), lambda bh, *_: (bh, 0, 0)),
                 pl.BlockSpec((1, T, D), lambda bh, *_: (bh, 0, 0)),
             ],
             out_specs=[
@@ -339,7 +339,7 @@ def _reshape_in(q, k, v, kv_valid):
     qr = q.transpose(0, 2, 1, 3).reshape(B * H, T, D)
     kr = k.transpose(0, 2, 1, 3).reshape(B * H, S, D)
     vr = v.transpose(0, 2, 1, 3).reshape(B * H, S, D)
-    valid = jnp.repeat(kv_valid.astype(jnp.int32), H, axis=0)  # (B*H, S)
+    valid = jnp.repeat(kv_valid.astype(jnp.int32), H, axis=0)[:, None, :]  # (B*H, 1, S)
     return qr, kr, vr, valid
 
 
