@@ -104,7 +104,11 @@ class ModelConfig:
     # compute, dropout active, raw RNG keys, key length <= 1024 and
     # 128-multiple query lengths (the real packed-loader buckets — e.g.
     # 640/384 — are 128-multiples); everywhere else falls back to XLA.
-    # Measurements: docs/PERFORMANCE.md "Finding 7".
+    # MEASURED 2.1x SLOWER than the XLA path at the flagship shapes
+    # (head_dim 64 wastes half the 128-lane width; XLA fuses across
+    # heads) — stays off; it is the starting point for long-sequence
+    # variants where the O(S^2) residuals dominate.  Full A/B and bound
+    # analysis: docs/PERFORMANCE.md "Finding 7".
     fused_attn_train: bool = False
     # Rematerialize each encoder/decoder layer in the backward pass
     # (jax.checkpoint, nothing-saveable): the f32 (B, H, T, S) attention

@@ -57,9 +57,10 @@ class ExperimentConfig:
     # (docs/PERFORMANCE.md Finding 6)
     fused_attn_bwd: bool = True
     # full pallas fused dropout-attention (fwd + recompute bwd, in-kernel
-    # counter-hash dropout RNG): no O(T*S) residual reaches HBM at all.
-    # A DIFFERENT dropout stream than jax.random — opt-in; runs trained
-    # with it replay only with it (docs/PERFORMANCE.md Finding 7)
+    # counter-hash dropout RNG): no O(T*S) residual reaches HBM at all,
+    # but MEASURED 2.1x slower than XLA at the flagship shapes — keep
+    # off except for long-sequence variants; also a different dropout
+    # stream than jax.random (docs/PERFORMANCE.md Finding 7)
     fused_attn_train: bool = False
 
     # optimisation
