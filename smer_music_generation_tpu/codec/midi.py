@@ -406,6 +406,66 @@ def _read_varlen(data: bytes, pos: int) -> Tuple[int, int]:
             return value, pos
 
 
+def _parse_track_events(tdata, stream, tempo_events, sig_events, lyric_events):
+    """Decode one MTrk chunk's event stream (ticks stay raw).
+
+    Lenient where real-world exporters are sloppy: running status is
+    honoured across meta/sysex events (the spec says those cancel it, but
+    many exporters rely on it surviving), unknown meta types and sysex
+    payloads are skipped, and channel messages before any status byte are
+    consumed as no-ops.  IndexError (data bytes running past the chunk)
+    propagates to the caller, which rejects the file.
+    """
+    tick = 0
+    p = 0
+    running = 0
+    while p < len(tdata):
+        delta, p = _read_varlen(tdata, p)
+        tick += delta
+        status = tdata[p]
+        if status & 0x80:
+            p += 1
+            if status < 0xF0:
+                running = status
+        else:
+            status = running
+        kind = status & 0xF0
+        ch = status & 0x0F
+        if status == 0xFF:
+            meta = tdata[p]
+            p += 1
+            length, p = _read_varlen(tdata, p)
+            payload = tdata[p : p + length]
+            p += length
+            if meta == 0x51 and length == 3:
+                mpq = int.from_bytes(payload, "big")
+                if mpq > 0:
+                    tempo_events.append((tick, 60_000_000 / mpq))
+            elif meta == 0x58 and length >= 2:
+                sig_events.append((tick, payload[0], 2 ** payload[1]))
+            elif meta == 0x05:
+                lyric_events.append((tick, payload.decode("latin-1", "replace")))
+        elif status in (0xF0, 0xF7):
+            length, p = _read_varlen(tdata, p)
+            p += length
+        elif kind in (0x80, 0x90, 0xA0, 0xB0, 0xE0):
+            d1, d2 = tdata[p], tdata[p + 1]
+            p += 2
+            if kind == 0x90 and d2 > 0:
+                stream.append((tick, ch, "on", d1, d2))
+            elif kind == 0x80 or (kind == 0x90 and d2 == 0):
+                stream.append((tick, ch, "off", d1, d2))
+        elif kind in (0xC0, 0xD0):
+            d1 = tdata[p]
+            p += 1
+            if kind == 0xC0:
+                stream.append((tick, ch, "program", d1, 0))
+        elif status == 0:
+            # data byte with no running status established: consume it as
+            # a no-op rather than re-reading it as a delta forever
+            p += 1
+
+
 def read_midi(path: str) -> MidiScore:
     """Parse an SMF file (format 0/1) into a :class:`MidiScore`."""
     with open(path, "rb") as f:
@@ -413,9 +473,13 @@ def read_midi(path: str) -> MidiScore:
 
     if data[:4] != b"MThd":
         raise ValueError(f"{path}: not a MIDI file")
+    if len(data) < 14:
+        raise ValueError(f"{path}: truncated MThd header")
     hlen, fmt, ntracks, division = struct.unpack(">IHHH", data[4:14])
     if division & 0x8000:
         raise ValueError("SMPTE time division not supported")
+    if division == 0:
+        raise ValueError(f"{path}: zero ticks-per-quarter division")
     resolution = division
 
     pos = 8 + hlen
@@ -423,7 +487,12 @@ def read_midi(path: str) -> MidiScore:
     for _ in range(ntracks):
         if data[pos : pos + 4] != b"MTrk":
             raise ValueError("bad track chunk")
+        if pos + 8 > len(data):
+            raise ValueError(f"{path}: truncated MTrk header")
         (tlen,) = struct.unpack(">I", data[pos + 4 : pos + 8])
+        if pos + 8 + tlen > len(data):
+            raise ValueError(f"{path}: truncated MTrk data "
+                             f"(declared {tlen} bytes)")
         raw_tracks.append(data[pos + 8 : pos + 8 + tlen])
         pos += 8 + tlen
 
@@ -435,50 +504,15 @@ def read_midi(path: str) -> MidiScore:
     note_streams = []
 
     for tdata in raw_tracks:
-        tick = 0
-        p = 0
-        running = 0
-        stream = []
-        while p < len(tdata):
-            delta, p = _read_varlen(tdata, p)
-            tick += delta
-            status = tdata[p]
-            if status & 0x80:
-                p += 1
-                if status < 0xF0:
-                    running = status
-            else:
-                status = running
-            kind = status & 0xF0
-            ch = status & 0x0F
-            if status == 0xFF:
-                meta = tdata[p]
-                p += 1
-                length, p = _read_varlen(tdata, p)
-                payload = tdata[p : p + length]
-                p += length
-                if meta == 0x51 and length == 3:
-                    mpq = int.from_bytes(payload, "big")
-                    tempo_events.append((tick, 60_000_000 / mpq))
-                elif meta == 0x58 and length >= 2:
-                    sig_events.append((tick, payload[0], 2 ** payload[1]))
-                elif meta == 0x05:
-                    lyric_events.append((tick, payload.decode("latin-1", "replace")))
-            elif status in (0xF0, 0xF7):
-                length, p = _read_varlen(tdata, p)
-                p += length
-            elif kind in (0x80, 0x90, 0xA0, 0xB0, 0xE0):
-                d1, d2 = tdata[p], tdata[p + 1]
-                p += 2
-                if kind == 0x90 and d2 > 0:
-                    stream.append((tick, ch, "on", d1, d2))
-                elif kind == 0x80 or (kind == 0x90 and d2 == 0):
-                    stream.append((tick, ch, "off", d1, d2))
-            elif kind in (0xC0, 0xD0):
-                d1 = tdata[p]
-                p += 1
-                if kind == 0xC0:
-                    stream.append((tick, ch, "program", d1, 0))
+        stream: List[Tuple[int, int, str, int, int]] = []
+        try:
+            _parse_track_events(tdata, stream, tempo_events, sig_events,
+                                lyric_events)
+        except IndexError as e:
+            # an event whose data bytes run past the declared chunk length
+            # (mid-write truncation, bad running status): reject cleanly so
+            # the build pipeline's per-file containment sees one error type
+            raise ValueError("truncated event data inside MTrk") from e
         note_streams.append(stream)
 
     # tempo metas can live in any track of a format-1 file: sort before

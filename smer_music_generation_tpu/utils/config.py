@@ -148,6 +148,9 @@ class ExperimentConfig:
         parser.add_argument("--pretraining_epochs", type=int,
                             default=defaults.pretraining_epochs)
         parser.add_argument("--print_every", type=int, default=defaults.print_every)
+        parser.add_argument("--seed", type=int, default=defaults.seed,
+                            help="init + masking RNG seed (reference "
+                            "train.py fixes 99; vary for replicate runs)")
         args = parser.parse_args(argv)
         cfg = cls(
             vocab_mode=args.vocab_mode,
@@ -177,5 +180,6 @@ class ExperimentConfig:
             fused_attn_train=args.fused_attn_train,
             pretraining_epochs=args.pretraining_epochs,
             print_every=args.print_every,
+            seed=args.seed,
         )
         return cfg

@@ -265,3 +265,47 @@ def test_window_tokenizer_short_song_last_bar():
     assert res is not None
     events = res[0] if isinstance(res, tuple) else res
     assert events.count("bar") == 16  # padded window
+
+
+def test_triplet_swing_quantization_bounded():
+    """Triplet-feel and swing input (onsets at 1/3 and 2/3 of a beat) is
+    NOT representable on the strict 16th grid (same limit as the
+    reference, preprocessing.py's duration tables); this pins the
+    measured behavior: every note survives tokenization (no drops, no
+    merges) and onset displacement is bounded by the nearest-16th
+    distance, max 1/12 beat (measured mean 0.056/0.042 beats for
+    triplet/swing — docs/PARITY.md)."""
+    from smer_music_generation_tpu.codec.smer import events_to_midi, midi_to_events
+
+    def feel_score(kind, tempo=120.0, bars=4):
+        s = MidiScore(initial_tempo=tempo)
+        s.time_signature_changes = [TimeSignature(4, 4, 0.0)]
+        beat = 60.0 / tempo
+        inst = Instrument(program=0)
+        for b in range(bars):
+            for q in range(4):
+                base = (b * 4 + q) * beat
+                if kind == "triplet":
+                    for k in range(3):
+                        st = base + k * beat / 3
+                        inst.notes.append(Note(100, 60 + (b + k) % 12, st, st + beat / 3))
+                else:  # swing 8ths: on-beat + off-beat delayed to 2/3
+                    inst.notes.append(Note(100, 60 + b % 12, base, base + beat * 2 / 3))
+                    st = base + 2 * beat / 3
+                    inst.notes.append(Note(100, 62 + b % 12, st, st + beat / 3))
+        s.instruments.append(inst)
+        return s
+
+    for kind in ("triplet", "swing"):
+        src_score = feel_score(kind)
+        res = midi_to_events(src_score)
+        assert res is not None, f"{kind} input rejected"
+        out = events_to_midi(list(res[0]))
+        dec = out[0] if isinstance(out, tuple) else out
+        src = sorted((n.start, n.pitch) for n in src_score.instruments[0].notes)
+        dst = sorted((n.start, n.pitch) for i in dec.instruments for n in i.notes)
+        assert len(dst) == len(src), f"{kind}: notes dropped or merged"
+        beat = 0.5
+        for st, p in src:
+            d = min(abs(st - s2) for s2, p2 in dst if p2 == p)
+            assert d <= beat / 12 + 1e-9, f"{kind}: displacement {d/beat} beats"
