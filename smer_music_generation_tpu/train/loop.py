@@ -126,6 +126,18 @@ class Trainer:
         self._train_step = jax.jit(
             make_train_step(self.model, self.tables, dropout=cfg.dropout > 0)
         )
+        # lean twin for non-logged steps under gated_metrics: same update,
+        # no accuracy/per-module-norm computation or transfer
+        self._train_step_lean = (
+            jax.jit(
+                make_train_step(
+                    self.model, self.tables, dropout=cfg.dropout > 0,
+                    with_metrics=False,
+                )
+            )
+            if cfg.gated_metrics
+            else None
+        )
         self._eval_step = jax.jit(make_eval_step(self.model, self.tables))
         self._rng = jax.random.PRNGKey(cfg.seed + 17)
 
@@ -140,7 +152,10 @@ class Trainer:
             {k: np.asarray(v) for k, v in batch.items()}, self._data_shard
         )
 
-    def make_loader(self, groups, pretraining: bool, seed_offset: int = 0) -> BatchLoader:
+    def make_loader(
+        self, groups, pretraining: bool, seed_offset: int = 0,
+        binned: bool = False,
+    ) -> BatchLoader:
         cfg = self.cfg
         return BatchLoader(
             self.vocab,
@@ -152,6 +167,11 @@ class Trainer:
                 pretraining=pretraining,
                 bucket=cfg.seq_bucket,
                 row_bucket=cfg.row_bucket,
+                # binned batching applies to the train stream only: valid/
+                # test keep the group-per-batch layout so their loss curves
+                # stay comparable across runs
+                bin_rows=binned,
+                rows_per_batch=cfg.rows_per_batch,
             ),
             MaskingConfig(
                 total_mask_ratio=cfg.total_mask_ratio,
@@ -175,9 +195,20 @@ class Trainer:
 
         for step, batch in enumerate(Prefetcher(iter(loader), depth=2)):
             self._rng, sub = jax.random.split(self._rng)
+            # logged steps must carry full metrics; everything else may
+            # take the lean step (gated_metrics)
+            logged = (
+                step < 3
+                or step % self.cfg.print_every == self.cfg.print_every - 1
+            )
+            step_fn = (
+                self._train_step_lean
+                if (self._train_step_lean is not None and not logged)
+                else self._train_step
+            )
             try:
                 with timer:
-                    new_state, m = self._train_step(
+                    new_state, m = step_fn(
                         self.state, self._device_batch(batch), jnp.float32(eos_weight), sub
                     )
                     # materialize INSIDE both blocks: dispatch is async, so
@@ -199,11 +230,12 @@ class Trainer:
             self.state = new_state
             losses.append(loss_val)
             grad_norms.append(float(m["grad_norm"]))
-            last_param_norm = float(m["param_norm"])
-            for n, c, k in zip(names, m["correct_per_class"], m["count_per_class"]):
-                acc_correct[n] += c
-                acc_count[n] += k
-            if step < 3 or step % self.cfg.print_every == self.cfg.print_every - 1:
+            if "param_norm" in m:
+                last_param_norm = float(m["param_norm"])
+                for n, c, k in zip(names, m["correct_per_class"], m["count_per_class"]):
+                    acc_correct[n] += c
+                    acc_count[n] += k
+            if logged:
                 # the first steps are logged unconditionally: they carry the
                 # per-bucket-shape compile cost, and a silent first epoch
                 # reads as a hang on slow-compile backends
@@ -295,7 +327,10 @@ class Trainer:
             phase = "pretraining" if pretraining else "finetuning"
             self.logger.info(f"{phase} epoch {epoch + 1}/{cfg.epochs}")
 
-            train_loader = self.make_loader(train_groups, pretraining, seed_offset=epoch)
+            train_loader = self.make_loader(
+                train_groups, pretraining, seed_offset=epoch,
+                binned=cfg.binned_batching,
+            )
             valid_loader = self.make_loader(valid_groups, pretraining, seed_offset=1000 + epoch)
 
             train_loss = self.train_epoch(train_loader, eos_weight, epoch)

@@ -51,8 +51,22 @@ def make_optimizer():
     )
 
 
-def make_train_step(model: ScoreTransformer, tables: Dict, dropout: bool = True):
-    """Returns step(state, batch, eos_weight, rng) -> (state, metrics)."""
+def make_train_step(
+    model: ScoreTransformer,
+    tables: Dict,
+    dropout: bool = True,
+    with_metrics: bool = True,
+):
+    """Returns step(state, batch, eos_weight, rng) -> (state, metrics).
+
+    ``with_metrics=False`` builds the lean variant (ExperimentConfig
+    ``gated_metrics``): identical parameter update, but per-class
+    accuracy, per-head losses and per-module norm summaries are dropped
+    from the compiled program — only the loss and the global grad norm
+    (needed by the per-epoch gradient-health summary) are returned.  The
+    reference likewise computes ``accuracy()`` only on wandb-logged
+    steps (train.py:800-880).
+    """
 
     def step_fn(state: TrainState, batch: Dict, eos_weight, rng):
         def loss_fn(params):
@@ -83,31 +97,32 @@ def make_train_step(model: ScoreTransformer, tables: Dict, dropout: bool = True)
                 for g in jax.tree.leaves(tree)
             )
 
-        norm_metrics = {
-            "grad_norm": jnp.sqrt(_sumsq(grads)),
-            "param_norm": jnp.sqrt(_sumsq(state.params)),
-        }
-        for name, sub in grads["params"].items():
-            norm_metrics[f"gnorm/{name}"] = jnp.sqrt(_sumsq(sub))
-        for name, sub in state.params["params"].items():
-            norm_metrics[f"pnorm/{name}"] = jnp.sqrt(_sumsq(sub))
+        norm_metrics = {"grad_norm": jnp.sqrt(_sumsq(grads))}
+        if with_metrics:
+            norm_metrics["param_norm"] = jnp.sqrt(_sumsq(state.params))
+            for name, sub in grads["params"].items():
+                norm_metrics[f"gnorm/{name}"] = jnp.sqrt(_sumsq(sub))
+            for name, sub in state.params["params"].items():
+                norm_metrics[f"pnorm/{name}"] = jnp.sqrt(_sumsq(sub))
 
         tx = make_optimizer()
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         updates = jax.tree.map(lambda u: u * state.lr, updates)
         new_params = optax.apply_updates(state.params, updates)
 
-        correct_pc, count_pc, total_correct, total_count = per_class_accuracy(
-            logits, batch["target_out"], tables
-        )
-        metrics = {
-            "loss": loss,
-            "accuracy": total_correct / jnp.maximum(total_count, 1),
-            "correct_per_class": correct_pc,
-            "count_per_class": count_pc,
-            **{f"loss/{k}": v for k, v in per_head.items()},
-            **norm_metrics,
-        }
+        metrics = {"loss": loss, **norm_metrics}
+        if with_metrics:
+            correct_pc, count_pc, total_correct, total_count = per_class_accuracy(
+                logits, batch["target_out"], tables
+            )
+            metrics.update(
+                {
+                    "accuracy": total_correct / jnp.maximum(total_count, 1),
+                    "correct_per_class": correct_pc,
+                    "count_per_class": count_pc,
+                    **{f"loss/{k}": v for k, v in per_head.items()},
+                }
+            )
         new_state = state.replace(
             params=new_params, opt_state=new_opt_state, step=state.step + 1
         )

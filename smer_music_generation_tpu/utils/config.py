@@ -94,6 +94,18 @@ class ExperimentConfig:
     # waste (steps are 18-40 ms; compiles are the epoch-1 bottleneck).
     seq_bucket: int = 256
     row_bucket: int = 8
+    # shape-binned batching (PERFORMANCE.md Finding 8): pool masked rows
+    # across pack groups into per-shape bins — FLOP utilization 0.19 ->
+    # 0.68 on the real corpus (scripts/padding_audit.py).  Train loader
+    # only; opt-in until a full run validates training parity (same
+    # policy as every numerics/default change).
+    binned_batching: bool = False
+    rows_per_batch: int = 0  # 0 = row_bucket (binned mode only)
+    # compute per-class accuracy + per-module norm summaries only on
+    # logged steps (the reference computes accuracy on wandb.log steps,
+    # train.py:800-880, not every step); loss and global grad norm stay
+    # per-step.  Identical parameter trajectory either way.
+    gated_metrics: bool = False
 
     @property
     def control_list(self) -> List[str]:
@@ -151,6 +163,13 @@ class ExperimentConfig:
         parser.add_argument("--seed", type=int, default=defaults.seed,
                             help="init + masking RNG seed (reference "
                             "train.py fixes 99; vary for replicate runs)")
+        parser.add_argument("--binned", action="store_true",
+                            help="shape-binned train batching (Finding 8)")
+        parser.add_argument("--rows_per_batch", type=int,
+                            default=defaults.rows_per_batch)
+        parser.add_argument("--gated_metrics", action="store_true",
+                            help="per-class accuracy/module norms on "
+                            "logged steps only")
         args = parser.parse_args(argv)
         cfg = cls(
             vocab_mode=args.vocab_mode,
@@ -181,5 +200,8 @@ class ExperimentConfig:
             pretraining_epochs=args.pretraining_epochs,
             print_every=args.print_every,
             seed=args.seed,
+            binned_batching=args.binned,
+            rows_per_batch=args.rows_per_batch,
+            gated_metrics=args.gated_metrics,
         )
         return cfg

@@ -300,3 +300,142 @@ def test_numerics_determinism_golden(mock_groups):
             f"{next(i for i, (a, b) in enumerate(zip(losses, golden_losses)) if a != b)}; "
             f"actual: {[repr(l) for l in losses]}"
         )
+
+
+# ----------------------------------------------------------------------
+# shape-binned batching + gated metrics (PERFORMANCE.md Finding 8)
+
+
+def _row_set(loader):
+    """Multiset of real (loss-bearing) rows as bytes keys."""
+    rows = []
+    for batch in loader:
+        tgt = batch["target_out"]
+        real = (tgt != 0).any(axis=1)
+        for i in np.where(real)[0]:
+            src = batch["input"][i]
+            rows.append(
+                (src[src != 0].tobytes(), tgt[i][tgt[i] != 0].tobytes())
+            )
+    return sorted(rows)
+
+
+def test_binned_loader_same_rows_less_padding(mock_groups):
+    """bin_rows=True must train on exactly the same masked rows as the
+    group-per-batch path (same loader seed -> same masking stream), only
+    recomposed into fuller fixed-shape batches."""
+    from smer_music_generation_tpu.data.loader import BatchLoader, LoaderConfig
+    from smer_music_generation_tpu.data.masking import MaskingConfig
+    from smer_music_generation_tpu.vocab import CONTROL_SETS, WordVocab
+
+    vocab = WordVocab(0, CONTROL_SETS[5])
+    mc = MaskingConfig(
+        total_mask_ratio=0.15, bar_track_control=True, bar_control_at_end=True
+    )
+    groups = mock_groups * 3
+
+    def make(binned):
+        return BatchLoader(
+            vocab, groups,
+            LoaderConfig(
+                batch_size=1, max_src=1408, max_tgt=1408, pretraining=False,
+                bucket=256, row_bucket=8, bin_rows=binned,
+            ),
+            mc, seed=77,
+        )
+
+    rows_plain = _row_set(make(False))
+    rows_binned = _row_set(make(True))
+    assert rows_plain == rows_binned and rows_plain
+
+    # batches carry uniform bucketed shapes with <= rows_per_batch rows
+    def waste(loader):
+        slots = real = n_batches = 0
+        for batch in loader:
+            assert batch["input"].shape[0] == 8
+            assert batch["input"].shape[1] % 256 == 0
+            slots += batch["target_out"].size
+            real += int((batch["target_out"] != 0).sum())
+            n_batches += 1
+        return real / slots, n_batches
+
+    util_plain, nb_plain = waste(make(False))
+    util_binned, nb_binned = waste(make(True))
+    assert util_binned >= util_plain
+    assert nb_binned <= nb_plain
+
+    # deterministic: same seed -> identical batch stream
+    import hashlib
+
+    def stream_hash(loader):
+        h = hashlib.sha256()
+        for batch in loader:
+            for k in sorted(batch):
+                h.update(np.asarray(batch[k]).tobytes())
+        return h.hexdigest()
+
+    assert stream_hash(make(True)) == stream_hash(make(True))
+
+
+def test_lean_step_identical_update(mock_groups):
+    """make_train_step(with_metrics=False) must produce bit-identical
+    parameters to the full step; only the metrics dict shrinks."""
+    import jax.numpy as jnp
+
+    from smer_music_generation_tpu.data.loader import BatchLoader, LoaderConfig
+    from smer_music_generation_tpu.data.masking import MaskingConfig
+    from smer_music_generation_tpu.train.loss import build_loss_tables
+    from smer_music_generation_tpu.train.state import (
+        TrainState, build_model, make_train_step,
+    )
+    from smer_music_generation_tpu.vocab import CONTROL_SETS, WordVocab
+
+    vocab = WordVocab(0, CONTROL_SETS[5])
+    tables = build_loss_tables(vocab)
+    model = build_model(
+        vocab.vocab_size, d_model=32, nhead=4, num_layers=1, d_ff=64,
+        max_len=1408, dropout=0.1, dtype=jnp.float32,
+    )
+    params = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0)},
+        np.ones((1, 16), np.int32), np.ones((1, 16), np.int32),
+    )
+    loader = BatchLoader(
+        vocab, mock_groups,
+        LoaderConfig(batch_size=1, max_src=1408, max_tgt=1408,
+                     pretraining=False, bucket=256, row_bucket=8),
+        MaskingConfig(total_mask_ratio=0.15, bar_track_control=True,
+                      bar_control_at_end=True),
+        seed=5,
+    )
+    batch = {k: jnp.asarray(v) for k, v in next(iter(loader)).items()}
+    full = jax.jit(make_train_step(model, tables, dropout=True))
+    lean = jax.jit(make_train_step(model, tables, dropout=True,
+                                   with_metrics=False))
+    rng = jax.random.PRNGKey(9)
+    s_full, m_full = full(TrainState.create(params, lr=1e-3), batch,
+                          jnp.float32(1.0), rng)
+    s_lean, m_lean = lean(TrainState.create(params, lr=1e-3), batch,
+                          jnp.float32(1.0), rng)
+    for a, b in zip(jax.tree.leaves(s_full.params), jax.tree.leaves(s_lean.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(m_full["loss"]) == float(m_lean["loss"])
+    assert "param_norm" in m_full and "param_norm" not in m_lean
+    assert "correct_per_class" not in m_lean
+    assert "grad_norm" in m_lean
+
+
+def test_trainer_binned_gated_run(tmp_path, mock_groups):
+    """End-to-end: a binned + gated_metrics trainer completes two epochs,
+    logs metrics, and saves checkpoints."""
+    cfg = ExperimentConfig(
+        d_model=32, nhead=4, num_layers=1, d_ff=64, max_seq=1408,
+        epochs=2, pretraining_epochs=1, batch_size=1, print_every=4,
+        output_dir=str(tmp_path), bf16=False, dropout=0.1,
+        binned_batching=True, gated_metrics=True,
+    )
+    trainer = Trainer(cfg)
+    trainer.run(mock_groups, mock_groups)
+    assert os.path.exists(os.path.join(cfg.output_dir, "metrics.jsonl"))
+    latest = latest_checkpoint(os.path.join(cfg.output_dir, cfg.checkpoint_dir))
+    assert latest is not None and latest.endswith("checkpoint_1")
