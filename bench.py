@@ -1,8 +1,11 @@
 """Benchmarks for the driver metric set (BASELINE.json):
 
 default   : single-session infill tokens/sec/chip + p50 latency (one JSON line)
---all     : adds batched serving decode (config 5) and bulk MIDI->SMER
-            dataset build files/sec (config 4); details to BENCH_DETAILS.json
+--all     : adds batched serving decode at 16 and 64 sessions (config 5),
+            tension-controlled generation (config 3), bulk MIDI->SMER
+            dataset build files/sec (config 4), and the train-step legs;
+            details to BENCH_DETAILS.json — every BASELINE.json config
+            now maps to a bench leg
 
 The "vs_baseline" ratio compares against the reference's structural decode
 cost: a full encoder+decoder re-forward per emitted token
@@ -282,6 +285,84 @@ def bench_train_step(vocab, model, params, batch_size=8, src_len=640,
     }
 
 
+def bench_tension_controlled(vocab, model, params, quant="none", reps=7):
+    """Config 3: tension-controlled generation (BASELINE.json configs[2]).
+
+    Per session: draw s_* targets for 3 bars under the reference's
+    |orig - new| <= 4 rule (``evaluation.py:2078``), substitute them, and
+    regenerate those whole bars through the engine's bar-mask path —
+    exactly the flow ``evaluation.py:2057-2104`` times on GPU.  Reports
+    decode tokens/s plus the measured |set - achieved| column.  Bench
+    weights are the random flagship init, so the diff column here proves
+    the measurement PATH (set -> decode -> re-tension), not model skill;
+    trained-checkpoint steering numbers live in docs/TRAINING.md.
+    """
+    import jax
+
+    from smer_music_generation_tpu.eval.controllability import (
+        ControllabilityEvaluator,
+        bar_with_track_positions,
+    )
+    from smer_music_generation_tpu.infer.engine import InfillEngine
+
+    events = serving_events(vocab)
+
+    class _Counting:
+        """Engine proxy: accumulates decode_steps across eval calls."""
+
+        def __init__(self, engine):
+            self.engine = engine
+            self.tokens = 0
+
+        def __call__(self, *a, **k):
+            res = self.engine(*a, **k)
+            self.tokens += int(res.decode_steps)
+            return res
+
+    proxy = _Counting(
+        InfillEngine(model, params, vocab, nucleus_p=0.9, max_tgt_len=1024,
+                     max_time_fix_attempts=0, quant=quant)
+    )
+    evaluator = ControllabilityEvaluator(proxy, vocab)
+    _, bar_poses, _ = bar_with_track_positions(events)
+
+    def session(seed):
+        py_rng = np.random.default_rng(seed)
+        bars = sorted(py_rng.choice(6, 3, replace=False).tolist())
+        values = []
+        for b in bars:
+            tok = events[bar_poses[b] + 1]
+            orig = int(tok.split("_")[1]) if tok.startswith("s_") else 6
+            lo, hi = max(0, orig - 4), min(11, orig + 4)
+            values.append(int(py_rng.integers(lo, hi + 1)))
+        return evaluator.evaluate_tensile(
+            events, bars, values, jax.random.PRNGKey(seed)
+        )
+
+    session(0)  # warmup/compile
+    proxy.tokens = 0
+    lat, diffs, toks = [], [], []
+    for i in range(reps):
+        before = proxy.tokens
+        t0 = time.perf_counter()
+        r = session(i + 1)
+        lat.append(time.perf_counter() - t0)
+        toks.append(proxy.tokens - before)
+        diffs.extend(r.diffs)
+    rates = sorted(t / l for t, l in zip(toks, lat))
+    return {
+        "tension_tokens_per_sec": round(float(np.median(rates)), 2),
+        "tension_tokens_per_sec_best": round(rates[-1], 2),
+        "tension_tokens_per_sec_worst": round(rates[0], 2),
+        "p50_session_latency_s": round(float(np.percentile(lat, 50)), 4),
+        "bars_per_session": 3,
+        "mean_abs_set_minus_achieved_random_weights": (
+            round(float(np.mean(np.abs(diffs))), 2) if diffs else None
+        ),
+        "n_diffs": len(diffs),
+    }
+
+
 def bench_dataset_build(n_files=24):
     """Config 4: bulk MIDI->SMER dataset build throughput.
 
@@ -356,6 +437,13 @@ def main():
             "single": headline,
             "batched_16": bench_batched(vocab, model, params, batch=16,
                                         quant=args.quant),
+            # BASELINE configs[4] names batch 64: 8 pipelined groups of 8
+            "batched_64": bench_batched(vocab, model, params, batch=64,
+                                        quant=args.quant),
+            # BASELINE configs[2]: tension-controlled generation
+            "tension_controlled": bench_tension_controlled(
+                vocab, model, params, quant=args.quant
+            ),
             "train_step": bench_train_step(vocab, model, params),
             "dataset_build": build,
         }
