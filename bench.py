@@ -116,7 +116,27 @@ def serving_events(vocab):
     return change_controls(events, controls, vocab)
 
 
-def bench_single(vocab, model, params, quant="none"):
+def load_flagship_checkpoint(model, params):
+    """Trained r6 flagship params if the run dir is present, else None.
+
+    The speculative-decode A/B needs TRAINED weights: prompt-lookup
+    acceptance depends on how peaked/repetitive the model's output is,
+    and random-weight streams have near-zero self-similarity.
+    """
+    import jax
+
+    path = "runs/flagship_r6/checkpoints/checkpoint_19"
+    if not os.path.isdir(path):
+        return None
+    from smer_music_generation_tpu.train.checkpoint import restore_params_only
+    from smer_music_generation_tpu.train.state import TrainState
+
+    state = TrainState.create(params, lr=1e-4)
+    trained, _ = restore_params_only(path, jax.eval_shape(lambda: state))
+    return trained
+
+
+def bench_single(vocab, model, params, quant="none", draft_k=0, greedy=False):
     import jax
     import jax.numpy as jnp
 
@@ -126,7 +146,8 @@ def bench_single(vocab, model, params, quant="none"):
     # random weights rarely close bars, so the duration-repair retry loop
     # would always exhaust; disable it to measure the single-decode path
     engine = InfillEngine(model, params, vocab, nucleus_p=0.9, max_tgt_len=1024,
-                          max_time_fix_attempts=0, quant=quant)
+                          max_time_fix_attempts=0, quant=quant,
+                          draft_k=draft_k, greedy=greedy)
     bars = list(range(8))
     engine(events, [0], bars, jax.random.PRNGKey(1))  # warmup/compile
 
@@ -282,6 +303,75 @@ def bench_train_step(vocab, model, params, batch_size=8, src_len=640,
         "train_tokens_per_sec": round(n * toks / dt, 0),
         "mfu_pct": round(100 * flops * (n / dt) / 197e12, 1),
         "rep_spread_pct": round(100 * (max(dts) / min(dts) - 1), 1),
+    }
+
+
+def bench_train_corpus_slice(vocab, model, params, n_batches=120,
+                             binned=False, gated=False, seed=11):
+    """Real-corpus training throughput: loader + step over the first
+    ``n_batches`` of a finetuning epoch (corpus4), reported as
+    LOSS-BEARING tokens/sec — the number the shape-binned batcher and
+    gated metrics (PERFORMANCE.md Finding 8) actually move.  The
+    synthetic bench_train_step point cannot see either lever: it feeds
+    one fixed fully-real batch, while the real epoch's cost is the
+    padding mix.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from smer_music_generation_tpu.data.loader import BatchLoader, LoaderConfig
+    from smer_music_generation_tpu.data.masking import MaskingConfig
+    from smer_music_generation_tpu.data.pack import load_batches
+    from smer_music_generation_tpu.train.loss import build_loss_tables
+    from smer_music_generation_tpu.train.state import TrainState, make_train_step
+
+    if not os.path.isdir("corpus/data"):
+        return {"skipped": "corpus/data not present"}
+    prev_impl = jax.config.jax_default_prng_impl
+    jax.config.update("jax_default_prng_impl", "unsafe_rbg")
+    tables = build_loss_tables(vocab)
+    state = TrainState.create(params, lr=1e-4)
+    step = jax.jit(make_train_step(model, tables, dropout=True,
+                                   with_metrics=not gated))
+    groups, _ = load_batches("corpus/data/smer_training")
+    loader = BatchLoader(
+        vocab, groups,
+        LoaderConfig(batch_size=1, max_src=2400, max_tgt=2400,
+                     pretraining=False, bucket=256, row_bucket=8,
+                     bin_rows=binned),
+        MaskingConfig(total_mask_ratio=0.15, bar_track_control=True,
+                      bar_control_at_end=True),
+        seed=seed,
+    )
+    rng = jax.random.PRNGKey(0)
+    batches = []
+    for i, b in enumerate(loader):
+        if i >= n_batches:
+            break
+        batches.append({k: jnp.asarray(v) for k, v in b.items()})
+    # compile pass over the distinct shapes first (compiles are an
+    # epoch-1 cost, not a steady-state cost)
+    seen = set()
+    for b in batches:
+        shape = tuple(b["input"].shape) + tuple(b["target_in"].shape)
+        if shape not in seen:
+            seen.add(shape)
+            _, m = step(state, b, jnp.float32(1.0), rng)
+            jax.device_get(m["loss"])
+    loss_tokens = sum(int((np.asarray(b["target_out"]) != 0).sum()) for b in batches)
+    t0 = time.perf_counter()
+    for b in batches:
+        state, m = step(state, b, jnp.float32(1.0), rng)
+    jax.device_get(m["loss"])
+    dt = time.perf_counter() - t0
+    jax.config.update("jax_default_prng_impl", prev_impl)
+    return {
+        "mode": ("binned" if binned else "plain") + ("+gated" if gated else ""),
+        "n_batches": len(batches),
+        "distinct_shapes": len(seen),
+        "loss_tokens": loss_tokens,
+        "steps_per_sec": round(len(batches) / dt, 2),
+        "loss_tokens_per_sec": round(loss_tokens / dt, 0),
     }
 
 
@@ -444,8 +534,34 @@ def main():
             "tension_controlled": bench_tension_controlled(
                 vocab, model, params, quant=args.quant
             ),
+        }
+        # speculative-decode A/B with TRAINED weights (prompt-lookup
+        # acceptance is a property of real model output, not random init)
+        trained = load_flagship_checkpoint(model, params)
+        if trained is not None:
+            details |= {
+                "spec_base_nucleus": bench_single(vocab, model, trained),
+                "spec_k8_nucleus": bench_single(vocab, model, trained,
+                                                draft_k=8),
+                "spec_base_greedy": bench_single(vocab, model, trained,
+                                                 greedy=True),
+                "spec_k8_greedy": bench_single(vocab, model, trained,
+                                               draft_k=8, greedy=True),
+            }
+        details |= {
             "train_step": bench_train_step(vocab, model, params),
             "dataset_build": build,
+            # Finding 8 A/B: real-corpus epoch-slice throughput under the
+            # plain vs shape-binned loader (+ gated metrics)
+            "train_corpus_plain": bench_train_corpus_slice(
+                vocab, model, params
+            ),
+            "train_corpus_binned": bench_train_corpus_slice(
+                vocab, model, params, binned=True
+            ),
+            "train_corpus_binned_gated": bench_train_corpus_slice(
+                vocab, model, params, binned=True, gated=True
+            ),
         }
         # A/B the pallas fused training attention (Finding 7) at both
         # campaign shapes, same session

@@ -54,7 +54,7 @@ from .grammar import (
     build_fast_tables,
     update_bits,
 )
-from .sampling import greedy_sample, masked_sample_gumbel
+from .sampling import greedy_sample, masked_sample_gumbel, spec_accept_resample
 
 
 class DecodeResult(NamedTuple):
@@ -93,6 +93,19 @@ class InfillDecoder:
     # amortizes per-token kernel-launch + XLA loop-op overhead.  Requires
     # the fused-sampling path; token-exact with token_chunk=1.
     token_chunk: int = 1
+    # >0: speculative decode (XLA cache path, B=1 only) — draft this many
+    # tokens per iteration by prompt-lookup (most recent bigram match in
+    # the emitted stream, falling back to the source window), verify all
+    # of them in ONE multi-position forward (decode_window), and emit the
+    # accepted prefix + one corrective/bonus token.  The B=1 step is
+    # HBM-weight-bound, so a W-token verify costs about one step: any
+    # accepted token is nearly free.  Greedy: bit-identical output to the
+    # baseline.  Nucleus: distribution-identical via delta-draft
+    # speculative sampling (sampling.spec_accept_resample) — a different
+    # lateral RNG stream than the baseline, so streams differ token-wise
+    # but not in law.  Measured acceptance on r6 flagship streams:
+    # ~2.4 emitted/verify greedy, ~1.4 nucleus (k=8, bigram).
+    draft_k: int = 0
     interpret: bool = False  # run the fused kernel interpreted (CPU tests)
     # Multi-chip serving: shard_map the fused loop over the mesh's dp axis
     # (each chip decodes its local batch slice with the pallas kernel).
@@ -135,6 +148,11 @@ class InfillDecoder:
             raise ValueError(
                 "token_chunk > 1 (kernel looping) requires the fused-sampling "
                 "kernel path"
+            )
+        if self.draft_k > 0 and self.quant != "none":
+            raise ValueError(
+                "speculative decode (draft_k > 0) runs the XLA cache path "
+                "and cannot stream quantized weights; drop one of the two"
             )
         # one wrapper serves both call shapes: jax.jit caches per
         # signature, so forced and unforced calls compile separately anyway
@@ -225,6 +243,14 @@ class InfillDecoder:
                 "the XLA path. Pad B to 1 or a multiple of 4 (<=8) and S to a "
                 f"multiple of {CHUNK} (<= max_len) to quantize.",
                 stacklevel=2,
+            )
+        # spec decode preempts the fused kernel at B=1: the whole point is
+        # the A/B against it (PERFORMANCE.md); batched or forced-prefix
+        # calls fall through to the existing paths
+        if self.draft_k > 0 and B == 1 and forced is None:
+            return InfillDecoder._decode_v5(
+                self, params, src, src_pad, memory, cross, span_types,
+                n_spans, no_whole, rng,
             )
         if use_fused:
             nl, D = cfg.num_decoder_layers, cfg.d_model
@@ -353,6 +379,194 @@ class InfillDecoder:
 
         pos0 = jnp.int32(0)
         carry = (pos0, done, out, cache, state, steps_in_span, span_idx, lengths)
+        pos, done, out, cache, state, steps_in_span, span_idx, lengths = (
+            jax.lax.while_loop(cond, body, carry)
+        )
+        return DecodeResult(tokens=out, lengths=lengths, steps=pos)
+
+    @staticmethod
+    def _decode_v5(self, params, src, src_pad, memory, cross, span_types,
+                   n_spans, no_whole, rng) -> DecodeResult:
+        """Speculative (draft-and-verify) decode — XLA cache path, B=1.
+
+        Per loop iteration: (1) draft K tokens by prompt-lookup — the
+        continuation of the most recent bigram match in the emitted
+        stream, else the last match in the source window (music is
+        repetitive: measured ~2.4 emitted/verify greedy, ~1.4 nucleus on
+        r6 flagship streams); (2) score the current token + all K drafts
+        in one ``decode_window`` forward — at B=1 the step streams the
+        full decoder weights from HBM either way, so the K+1-row verify
+        costs about one baseline step; (3) a K+1-slot scan replays the
+        exact per-token bookkeeping of the baseline body (grammar bits,
+        span caps, control slots, <eos> -> ``m_0``) and emits the
+        accepted prefix plus one corrective/bonus token.  Slot i's logits
+        are valid iff every earlier emitted token equals the window input
+        the verify assumed — the chain breaks at the first divergence,
+        exactly the speculative-decoding contract.
+
+        Greedy output is bit-identical to the baseline loop (same argmax
+        chain).  Nucleus sampling is distribution-identical via
+        delta-draft speculative sampling; each absolute position consumes
+        its own pre-generated noise row exactly once, so no draw is ever
+        reused across retries.  Sessions stop ``K`` positions before the
+        buffer cap (the verify window must fit) — immaterial at
+        ``max_tgt_len`` 1024, where real streams end far earlier.
+        """
+        model, t = self.model, self.tables
+        L = self.max_tgt_len
+        K = self.draft_k
+        W = K + 1
+        V = t.vocab_size
+
+        cache = model.apply(params, 1, L, method=ScoreTransformer.init_self_cache)
+        state_masks, sid_from_bits, next_bits = self.fast_tables
+
+        g_rng, u_rng = jax.random.split(rng)
+        noise = jax.random.gumbel(g_rng, (L, V), dtype=jnp.float32)
+        uniforms = jax.random.uniform(u_rng, (L,), dtype=jnp.float32)
+
+        src_row = src[0]
+        S = src_row.shape[0]
+        jj_src = jnp.arange(S)
+        src_shift = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), src_row[:-1]]
+        )
+        jj_out = jnp.arange(L)
+
+        def build_draft(out_row, pos):
+            """Prompt-lookup: continuation of the latest bigram match."""
+            key0 = out_row[jnp.maximum(pos - 1, 0)]
+            key1 = out_row[pos]
+            out_shift = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), out_row[:-1]]
+            )
+            m_out = (
+                (out_shift == key0) & (out_row == key1)
+                & (jj_out >= 1) & (jj_out <= pos - 1)
+            )
+            j_out = jnp.max(jnp.where(m_out, jj_out, -1))
+            m_src = (
+                (src_shift == key0) & (src_row == key1)
+                & (jj_src >= 1) & (src_row != 0)
+            )
+            j_src = jnp.max(jnp.where(m_src, jj_src, -1))
+            d_out = jax.lax.dynamic_slice(
+                out_row, (jnp.clip(j_out + 1, 0, L - K),), (K,)
+            )
+            d_src = jax.lax.dynamic_slice(
+                src_row, (jnp.clip(j_src + 1, 0, S - K),), (K,)
+            )
+            # token 0 never matches grammar output -> graceful no-draft
+            return jnp.where(
+                j_out >= 0, d_out,
+                jnp.where(j_src >= 0, d_src, jnp.zeros((K,), jnp.int32)),
+            )
+
+        def cond(carry):
+            pos, done, *_ = carry
+            return (pos + 1 + K < L) & jnp.any(~done)
+
+        def body(carry):
+            pos, done, out, cache, state, steps_in_span, span_idx, lengths = carry
+            out_row = out[0]
+            draft = build_draft(out_row, pos)
+            window = jnp.concatenate([out_row[pos][None], draft])[None]
+            logits_w, cache = model.apply(
+                params, window, pos, cache, cross, src_pad,
+                method=ScoreTransformer.decode_window,
+            )
+            g_rows = jax.lax.dynamic_slice(noise, (pos, 0), (W, V))
+            u_rows = jax.lax.dynamic_slice(uniforms, (pos,), (W,))
+
+            def scan_body(c, x):
+                (valid, done_c, out_c, state_c, steps_c, span_c, len_c,
+                 emitted) = c
+                logit_i, g_i, u_i, d_i, i = x
+                is_bonus = i == K
+
+                cur_type = span_types[
+                    jnp.arange(1), jnp.minimum(span_c, self.max_spans - 1)
+                ]
+                is_start = steps_c == 1
+                allowed = allowed_mask_fast(
+                    state_masks, sid_from_bits, state_c, is_start, cur_type,
+                    no_whole, start_overrides=(t.mode == 1),
+                )
+                if self.greedy:
+                    sampled = greedy_sample(logit_i[None], allowed)
+                else:
+                    spec_tok, _ = spec_accept_resample(
+                        u_i[None], g_i[None], logit_i[None], allowed,
+                        jnp.maximum(d_i, 0)[None],
+                        self.nucleus_p, self.temperature,
+                    )
+                    plain_tok = masked_sample_gumbel(
+                        g_i[None], logit_i[None], allowed,
+                        self.nucleus_p, self.temperature,
+                    )
+                    sampled = jnp.where(is_bonus, plain_tok, spec_tok)
+
+                control_done = (cur_type != SPAN_BODY) & (steps_c >= 2)
+                end_span = (
+                    (sampled == t.eos_index)
+                    | (steps_c >= self.span_cap)
+                    | control_done
+                )
+                new_span = jnp.where(end_span, span_c + 1, span_c)
+                now_done = done_c | (new_span >= n_spans)
+                next_tok = jnp.where(end_span, t.mask_index, sampled)
+                next_tok = jnp.where(now_done, 0, next_tok)
+
+                new_state = update_bits(next_bits, state_c, sampled)
+                new_state = jnp.where(end_span | done_c, 0, new_state)
+                new_steps = jnp.where(end_span, 1, steps_c + 1)
+
+                emit = valid & ~done_c[0]  # scalar
+                # emitted token at absolute position pos + i + 1
+                p_i = pos + i + 1
+                out_new = jnp.where(
+                    emit, out_c.at[0, p_i].set(next_tok[0]), out_c
+                )
+                len_new = jnp.where(
+                    emit & (next_tok[0] != 0), p_i + 1, len_c
+                )
+                # chain: slot i+1's verify input was d_i — logits there
+                # are valid only if that is what was actually emitted
+                valid_next = emit & ~is_bonus & (next_tok[0] == d_i)
+                c_new = (
+                    valid_next,
+                    jnp.where(emit, now_done, done_c),
+                    out_new,
+                    jnp.where(emit, new_state, state_c),
+                    jnp.where(emit, new_steps, steps_c),
+                    jnp.where(emit, new_span, span_c),
+                    len_new,
+                    emitted + emit.astype(jnp.int32),
+                )
+                return c_new, None
+
+            carry0 = (
+                jnp.bool_(True), done, out, state, steps_in_span, span_idx,
+                lengths, jnp.int32(0),
+            )
+            xs = (
+                logits_w[0],  # (W, V)
+                g_rows,
+                u_rows,
+                jnp.concatenate([draft, jnp.full((1,), -1, jnp.int32)]),
+                jnp.arange(W),
+            )
+            (_, done, out, state, steps_in_span, span_idx, lengths,
+             emitted), _ = jax.lax.scan(scan_body, carry0, xs)
+            return (pos + emitted, done, out, cache, state, steps_in_span,
+                    span_idx, lengths)
+
+        out = jnp.zeros((1, L), dtype=jnp.int32).at[:, 0].set(t.mask_index)
+        carry = (
+            jnp.int32(0), n_spans <= 0, out, cache, jnp.zeros((1,), jnp.int32),
+            jnp.ones((1,), jnp.int32), jnp.zeros((1,), jnp.int32),
+            jnp.ones((1,), jnp.int32),
+        )
         pos, done, out, cache, state, steps_in_span, span_idx, lengths = (
             jax.lax.while_loop(cond, body, carry)
         )

@@ -358,6 +358,7 @@ class InfillEngine:
         max_time_fix_attempts: int = 10,
         quant: str = "none",
         mesh=None,
+        draft_k: int = 0,
     ):
         """``mesh``: a ``parallel.mesh.make_mesh`` device mesh for
         multi-chip batched serving — parameters are replicated once and
@@ -385,6 +386,7 @@ class InfillEngine:
             greedy=greedy,
             quant=quant,
             mesh=mesh,
+            draft_k=draft_k,
         )
         if mesh is not None:
             from ..parallel.mesh import batch_sharding, replicated

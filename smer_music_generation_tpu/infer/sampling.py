@@ -57,6 +57,66 @@ def greedy_sample(logits: jnp.ndarray, allowed: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmax(masked, axis=-1).astype(jnp.int32)
 
 
+def nucleus_log_probs(
+    logits: jnp.ndarray,  # (B, V) float32
+    allowed: jnp.ndarray,  # (B, V) bool
+    p: Optional[float] = None,
+    temperature: float = 1.0,
+) -> jnp.ndarray:
+    """Log-probs of the masked+nucleus-filtered (UNrenormalized) support:
+    kept tokens carry their softmax log-prob, dropped tokens NEG_INF.
+    ``argmax(nucleus_log_probs + gumbel)`` == :func:`masked_sample_gumbel`.
+    """
+    masked = jnp.where(allowed, logits, NEG_INF) / temperature
+    logp = jax.nn.log_softmax(masked, axis=-1)
+    if p is not None:
+        probs = jnp.exp(logp)
+        above = jnp.sum(
+            probs[:, None, :] * (probs[:, None, :] > probs[:, :, None]), axis=-1
+        )
+        logp = jnp.where(above < p, logp, NEG_INF)
+    return logp
+
+
+def spec_accept_resample(
+    u: jnp.ndarray,  # (B,) float32 Uniform(0,1) — acceptance draw
+    gumbel: jnp.ndarray,  # (B, V) float32 — residual resample noise
+    logits: jnp.ndarray,  # (B, V) float32
+    allowed: jnp.ndarray,  # (B, V) bool
+    draft: jnp.ndarray,  # (B,) int32 proposed token
+    p: Optional[float] = None,
+    temperature: float = 1.0,
+):
+    """One speculative-sampling step against a deterministic (delta) draft.
+
+    Target distribution P is the masked nucleus/temperature distribution
+    the baseline samples from; the draft proposal is the point mass at
+    ``draft``.  Standard max-coupling: accept ``draft`` with probability
+    P(draft); otherwise sample from the residual P restricted to
+    V \\ {draft} (renormalization is argmax-invariant under Gumbel).
+    The emitted marginal is EXACTLY P — same guarantee as Leviathan et
+    al.'s speculative sampling, so spec decode is distribution-identical
+    to the baseline sampler (bit-identical under greedy).
+
+    Returns (token (B,), accepted (B,) bool).
+    """
+    logp = nucleus_log_probs(logits, allowed, p, temperature)
+    # renormalize over the kept support: P(draft) needs the true
+    # post-filter mass, not the pre-filter softmax value
+    kept = logp > NEG_INF / 2
+    norm = jnp.sum(jnp.where(kept, jnp.exp(logp), 0.0), axis=-1)
+    B = logits.shape[0]
+    p_draft = jnp.exp(logp[jnp.arange(B), draft]) / jnp.maximum(norm, 1e-38)
+    accepted = u < p_draft
+    # residual: the kept support minus the draft token
+    excl = logp.at[jnp.arange(B), draft].set(NEG_INF)
+    # all-mass-on-draft edge: residual empty, but then accept prob is 1
+    # and the fallback argmax value is never selected
+    alt = jnp.argmax(excl + gumbel, axis=-1).astype(jnp.int32)
+    token = jnp.where(accepted, draft, alt)
+    return token, accepted
+
+
 def masked_sample_gumbel(
     gumbel: jnp.ndarray,  # (B, V) float32 pregenerated Gumbel(0,1) noise
     logits: jnp.ndarray,  # (B, V) float32

@@ -726,6 +726,55 @@ class ScoreTransformer(nn.Module):
         logits = self.fc(x.astype(jnp.float32))
         return logits[:, 0, :], new_cache
 
+    def decode_window(
+        self,
+        tokens: Array,  # (B, W) int32 — tokens at positions index..index+W-1
+        index: Array,  # scalar int32: absolute position of tokens[:, 0]
+        self_cache: Dict[str, Tuple[Array, Array]],
+        cross_cache: Dict[str, Tuple[Array, Array]],
+        memory_pad_mask: Optional[Array] = None,
+    ) -> Tuple[Array, Dict[str, Tuple[Array, Array]]]:
+        """W-position cached decode for draft verification (spec decode).
+
+        One weight pass scores all W positions: query row j (absolute
+        position index+j) attends cache positions <= index+j, which makes
+        logits[:, j] the exact next-token distribution given the prefix
+        plus tokens[:, :j+1] — identical to W sequential ``decode_step``
+        calls, at ~the cost of ONE (the B=1 step is HBM-weight-bound).
+        K/V for all W positions are written into the cache; rows beyond a
+        caller-accepted prefix are stale but sit at positions the masks
+        exclude until they are overwritten.
+        """
+        W = tokens.shape[1]
+        x = self.embed(tokens, offset=0)
+        pe0 = jax.lax.dynamic_slice_in_dim(self.pos_table, 0, W, axis=0)
+        x = x - pe0.astype(x.dtype)
+        pe = jax.lax.dynamic_slice_in_dim(self.pos_table, index, W, axis=0)
+        x = x + pe.astype(x.dtype)
+
+        max_len = next(iter(self_cache.values()))[0].shape[1]
+        positions = jnp.arange(max_len)[None, None, None, :]
+        row_pos = index + jnp.arange(W)[None, None, :, None]
+        self_mask = positions <= row_pos  # (1,1,W,max_len)
+        cross_mask = None
+        if memory_pad_mask is not None:
+            cross_mask = (~memory_pad_mask)[:, None, None, :]
+
+        new_cache = {}
+        for i, layer in enumerate(self.decoder_layers):
+            key = f"layer_{i}"
+            k_cache, v_cache = self_cache[key]
+            k_new, v_new = layer.self_attn.project_kv(x)
+            k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k_new, index, axis=1)
+            v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v_new, index, axis=1)
+            new_cache[key] = (k_cache, v_cache)
+            ck, cv = cross_cache[key]
+            x, _ = layer.decode_step(x, k_cache, v_cache, self_mask, ck, cv, cross_mask)
+        if self.cfg.final_norm:
+            x = self.norm_d(x)
+        logits = self.fc(x.astype(jnp.float32))
+        return logits, new_cache  # (B, W, V)
+
 
 def gen_nopeek_mask(length: int) -> jnp.ndarray:
     """Boolean causal mask, True = attend (replaces the reference's float

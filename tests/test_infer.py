@@ -991,3 +991,122 @@ def test_correct_controls_time_retry_accounting(vocab, mode2_events, tiny_engine
     assert "m_0" not in res.events
     assert res.events.count("bar") == events.count("bar")
     assert tiny_engine._spans_close(res.events, req)
+
+
+# ----------------------------------------------------------------------
+# speculative decode (draft_k > 0): prompt-lookup draft + one-pass verify
+
+
+def _spec_setup(vocab, seed=0):
+    from smer_music_generation_tpu.infer.decode import InfillDecoder, pad_to_bucket
+    from smer_music_generation_tpu.models.transformer import (
+        ModelConfig, ScoreTransformer,
+    )
+
+    cfg = ModelConfig(
+        vocab_size=vocab.vocab_size, d_model=32, nhead=4, num_encoder_layers=1,
+        num_decoder_layers=2, d_ff=64, max_len=2048, dropout=0.0,
+        pos_dropout=0.0,
+    )
+    model = ScoreTransformer(cfg)
+    params = model.init({"params": jax.random.PRNGKey(seed)},
+                        jnp.ones((1, 8), jnp.int32), jnp.ones((1, 8), jnp.int32))
+    src_tokens = ["4/4", "t_3", "k_0", "d_2", "o_2", "y_2", "i_0",
+                  "bar", "s_2", "track_0", "d_2", "o_2", "y_2", "m_0",
+                  "m_0", "m_0", "m_0", "m_0"]
+    src = np.array([[vocab.char2index(t) for t in src_tokens]], np.int32)
+    src = pad_to_bucket(src, bucket=256)
+    span_types = np.zeros((1, 256), np.int32)
+    span_types[0, :5] = [0, 1, 2, 3, 4]
+    n_spans = np.asarray([5], np.int32)
+    return InfillDecoder, model, params, src, span_types, n_spans
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_spec_decode_greedy_bit_exact(vocab, seed):
+    """draft_k>0 under greedy must reproduce the baseline loop's output
+    stream bit-for-bit (same argmax chain, only the verify granularity
+    changes)."""
+    InfillDecoder, model, params, src, span_types, n_spans = _spec_setup(
+        vocab, seed
+    )
+    base = InfillDecoder(model, vocab, max_tgt_len=256, greedy=True,
+                         fused=False)
+    spec = InfillDecoder(model, vocab, max_tgt_len=256, greedy=True,
+                         fused=False, draft_k=6)
+    rb = base(params, src, span_types, n_spans, False, jax.random.PRNGKey(seed))
+    rs = spec(params, src, span_types, n_spans, False, jax.random.PRNGKey(seed))
+    Lb, Ls = int(rb.lengths[0]), int(rs.lengths[0])
+    assert Lb == Ls
+    np.testing.assert_array_equal(
+        np.asarray(rb.tokens[0, :Lb]), np.asarray(rs.tokens[0, :Ls])
+    )
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_spec_decode_nucleus_grammar_legal(vocab, seed):
+    """Nucleus spec decode: streams stay grammar-legal with the exact
+    span structure (the per-slot scan replays the baseline bookkeeping)."""
+    InfillDecoder, model, params, src, span_types, n_spans = _spec_setup(
+        vocab, seed
+    )
+    dec = InfillDecoder(model, vocab, max_tgt_len=256, nucleus_p=0.9,
+                        fused=False, draft_k=6)
+    r = dec(params, src, span_types, n_spans, False,
+            jax.random.PRNGKey(100 + seed))
+    toks = [vocab.index2char(int(x))
+            for x in np.asarray(r.tokens)[0, : int(r.lengths[0])]]
+    t = GrammarTables.build(vocab)
+    banned = np.asarray(t.always_banned).copy()
+    banned[vocab.mask_index] = False
+    spans, cur = [], None
+    for tk in toks:
+        if tk == "m_0":
+            cur = []
+            spans.append(cur)
+        else:
+            assert cur is not None
+            assert not banned[vocab.char2index(tk)], tk
+            cur.append(tk)
+    assert len(spans) == 5
+    assert spans[1] and spans[1][0].startswith("d_") and len(spans[1]) == 1
+    assert spans[4] and spans[4][0].startswith("s_") and len(spans[4]) == 1
+
+
+def test_spec_accept_resample_distribution():
+    """The delta-draft accept/resample step must emit the masked-nucleus
+    distribution EXACTLY (speculative-sampling guarantee): empirical
+    histogram over many independent (u, gumbel) draws matches the
+    baseline sampler's histogram within Monte-Carlo error."""
+    from smer_music_generation_tpu.infer.sampling import (
+        masked_sample_gumbel,
+        spec_accept_resample,
+    )
+
+    V = 24
+    rng = np.random.default_rng(7)
+    logits = jnp.asarray(rng.normal(0, 2.0, (1, V)), jnp.float32)
+    allowed = jnp.asarray(rng.random((1, V)) < 0.6)
+    allowed = allowed.at[0, 3].set(True)  # nonempty support
+    N = 30000
+    key = jax.random.PRNGKey(11)
+    gk, uk = jax.random.split(key)
+    gumbel = jax.random.gumbel(gk, (N, V), dtype=jnp.float32)
+    unif = jax.random.uniform(uk, (N,), dtype=jnp.float32)
+
+    for draft_tok, p in ((3, 0.9), (5, None), (0, 0.7)):
+        draft = jnp.full((N,), draft_tok, jnp.int32)
+        base = jax.vmap(
+            lambda g: masked_sample_gumbel(g[None], logits, allowed, p, 1.0)[0]
+        )(gumbel)
+        spec = jax.vmap(
+            lambda g, u, d: spec_accept_resample(
+                u[None], g[None], logits, allowed, d[None], p, 1.0
+            )[0][0]
+        )(gumbel, unif, draft)
+        hb = np.bincount(np.asarray(base), minlength=V) / N
+        hs = np.bincount(np.asarray(spec), minlength=V) / N
+        tv = 0.5 * np.abs(hb - hs).sum()
+        assert tv < 0.025, (draft_tok, p, tv)
+        # banned tokens never emitted
+        assert hs[~np.asarray(allowed[0])].sum() == 0
