@@ -41,6 +41,8 @@ def main(argv=None) -> int:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--correct_controls", action="store_true")
     parser.add_argument("--max_tgt", type=int, default=1024)
+    parser.add_argument("--draft_k", type=int, default=0,
+                        help="speculative decode: prompt-lookup draft width (0 = off); greedy output is bit-identical, nucleus distribution-identical")
     args = parser.parse_args(argv)
 
     enable_persistent_cache()
@@ -80,6 +82,7 @@ def main(argv=None) -> int:
         max_tgt_len=args.max_tgt,
         # with random weights the bar-closure retry loop always exhausts
         max_time_fix_attempts=10 if args.checkpoint else 0,
+        draft_k=args.draft_k,
     )
     gen = engine(
         events, args.tracks, args.bars, jax.random.PRNGKey(args.seed),

@@ -132,11 +132,11 @@ class ServingContext:
 
     def __init__(self, model, params, vocab: WordVocab, nucleus_p: float = 0.9,
                  temperature: float = 1.0, batch_window_ms: float = 8.0,
-                 max_batch: int = 8, mesh=None):
+                 max_batch: int = 8, mesh=None, draft_k: int = 0):
         self.vocab = vocab
         self.engine = InfillEngine(
             model, params, vocab, nucleus_p=nucleus_p, temperature=temperature,
-            mesh=mesh,
+            mesh=mesh, draft_k=draft_k,
         )
         self.batcher = (
             MicroBatcher(self.engine, max_batch=max_batch,

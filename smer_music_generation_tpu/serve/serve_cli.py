@@ -32,6 +32,9 @@ def main(argv=None) -> int:
                         help="coalesce concurrent /generate requests into "
                         "batched decodes for up to this many ms (0 = off)")
     parser.add_argument("--max_batch", type=int, default=8)
+    parser.add_argument("--draft_k", type=int, default=0,
+                        help="speculative decode for single-request (B=1) "
+                        "sessions (0 = off)")
     parser.add_argument("--dp", type=int, default=0,
                         help="shard batched serving over a dp mesh of N "
                         "devices (0/1 = single-chip fused kernel)")
@@ -65,7 +68,7 @@ def main(argv=None) -> int:
     ctx = ServingContext(
         model, params, vocab, nucleus_p=args.nucleus_p,
         temperature=args.temperature, batch_window_ms=args.batch_window_ms,
-        max_batch=args.max_batch, mesh=mesh,
+        max_batch=args.max_batch, mesh=mesh, draft_k=args.draft_k,
     )
     server = serve(ctx, host=args.host, port=args.port)
     logger.info(f"serving on {server.server_address}")
