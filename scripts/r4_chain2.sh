@@ -19,6 +19,11 @@ timeout 1800 python -m smer_music_generation_tpu.train.loop \
   -c runs/flagship_r7/checkpoints/checkpoint_19 --seed 7 \
   --output_dir runs/flagship_r7 > /tmp/r4_r7test.log 2>&1 || true
 
+# 1b. bench refresh: new legs (tension, batch-64, spec decode A/B with
+#     trained weights, binned/gated train corpus slices)
+step bench_all
+timeout 7200 python bench.py --all > /tmp/r4_bench_all.log 2>&1 || true
+
 # 2. r7 controllability, same 144 seeded windows as r5/r6 (polyphony cell)
 step r7eval
 timeout 7200 python -m smer_music_generation_tpu.eval.eval_cli \

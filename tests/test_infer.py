@@ -1110,3 +1110,27 @@ def test_spec_accept_resample_distribution():
         assert tv < 0.025, (draft_tok, p, tv)
         # banned tokens never emitted
         assert hs[~np.asarray(allowed[0])].sum() == 0
+
+
+def test_engine_with_draft_k_well_formed(vocab, mode2_events):
+    """Engine-level spec decode: the full infill path (mask -> spec decode
+    -> restore) stays well-formed with draft_k set."""
+    cfg = ModelConfig(
+        vocab_size=vocab.vocab_size, d_model=32, nhead=4, num_encoder_layers=1,
+        num_decoder_layers=1, d_ff=64, max_len=2048, dropout=0.0, pos_dropout=0.0,
+    )
+    model = ScoreTransformer(cfg)
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        jnp.ones((1, 8), jnp.int32), jnp.ones((1, 8), jnp.int32))
+    engine = InfillEngine(
+        model, params, vocab, nucleus_p=0.9, max_tgt_len=512,
+        max_time_fix_attempts=0, draft_k=6,
+    )
+    events, _ = mode2_events
+    res = engine(events, [0], [1, 2], jax.random.PRNGKey(4))
+    assert res is not None
+    assert res.decode_steps > 0
+    # restored stream keeps the window structure: same bar count
+    n_bars_in = sum(1 for t in events if t == "bar")
+    n_bars_out = sum(1 for t in res.events if t == "bar")
+    assert n_bars_in == n_bars_out

@@ -433,3 +433,47 @@ def test_fused_attn_bwd_inert_when_gated_off():
             logits, _ = m.apply(params, src, tgt)  # deterministic
             outs.append(np.asarray(logits, np.float32))
         assert np.array_equal(outs[0], outs[1])
+
+
+def test_decode_window_matches_stepwise(model_and_params):
+    """decode_window (spec-decode verify) must equal W sequential cached
+    decode_steps: same logits at every slot, same cache contents, both
+    mid-stream (nonzero index over a warm cache) and at the start."""
+    model, params = model_and_params
+    rng = np.random.default_rng(5)
+    src = jnp.asarray(rng.integers(1, V, (1, 12)), dtype=jnp.int32)
+    tgt = jnp.asarray(rng.integers(1, V, (1, 11)), dtype=jnp.int32)
+
+    memory = model.apply(params, src, method=ScoreTransformer.encode)
+    cross = model.apply(params, memory, method=ScoreTransformer.init_cross_cache)
+
+    for start, W in ((0, 5), (4, 7)):
+        cache_a = model.apply(params, 1, 16, method=ScoreTransformer.init_self_cache)
+        cache_b = model.apply(params, 1, 16, method=ScoreTransformer.init_self_cache)
+        # warm both caches stepwise up to `start`
+        for i in range(start):
+            _, cache_a = model.apply(
+                params, tgt[:, i], jnp.int32(i), cache_a, cross,
+                method=ScoreTransformer.decode_step,
+            )
+            _, cache_b = model.apply(
+                params, tgt[:, i], jnp.int32(i), cache_b, cross,
+                method=ScoreTransformer.decode_step,
+            )
+        step_logits = []
+        for i in range(start, start + W):
+            logits, cache_a = model.apply(
+                params, tgt[:, i], jnp.int32(i), cache_a, cross,
+                method=ScoreTransformer.decode_step,
+            )
+            step_logits.append(logits)
+        step_logits = jnp.stack(step_logits, axis=1)  # (1, W, V)
+
+        win_logits, cache_b = model.apply(
+            params, tgt[:, start : start + W], jnp.int32(start), cache_b,
+            cross, method=ScoreTransformer.decode_window,
+        )
+        np.testing.assert_allclose(win_logits, step_logits, atol=2e-4, rtol=1e-3)
+        for key in cache_a:
+            for a, b in zip(cache_a[key], cache_b[key]):
+                np.testing.assert_allclose(a, b, atol=2e-4, rtol=1e-3)
