@@ -466,111 +466,127 @@ class InfillDecoder:
             pos, done, *_ = carry
             return (pos + 1 + K < L) & jnp.any(~done)
 
+        W_iota = jnp.arange(W)
+
         def body(carry):
-            pos, done, out, cache, state, steps_in_span, span_idx, lengths = carry
+            pos, done, out, cache, state, steps, span, lengths = carry
             out_row = out[0]
             draft = build_draft(out_row, pos)
-            window = jnp.concatenate([out_row[pos][None], draft])[None]
+            window = jnp.concatenate([out_row[pos][None], draft])  # (W,)
             logits_w, cache = model.apply(
-                params, window, pos, cache, cross, src_pad,
+                params, window[None], pos, cache, cross, src_pad,
                 method=ScoreTransformer.decode_window,
             )
+            logits_w = logits_w[0]  # (W, V)
             g_rows = jax.lax.dynamic_slice(noise, (pos, 0), (W, V))
             u_rows = jax.lax.dynamic_slice(uniforms, (pos,), (W,))
 
-            def scan_body(c, x):
-                (valid, done_c, out_c, state_c, steps_c, span_c, len_c,
-                 emitted) = c
-                logit_i, g_i, u_i, d_i, i = x
-                is_bonus = i == K
-
-                cur_type = span_types[
-                    jnp.arange(1), jnp.minimum(span_c, self.max_spans - 1)
-                ]
-                is_start = steps_c == 1
-                allowed = allowed_mask_fast(
-                    state_masks, sid_from_bits, state_c, is_start, cur_type,
-                    no_whole, start_overrides=(t.mode == 1),
+            # ---- assumed-emission state chain: a LIGHT scan over the K
+            # draft slots (table lookups only).  Slot i samples with the
+            # grammar/span state reached if slots < i emitted exactly the
+            # window inputs — the same condition under which slot i's
+            # logits are valid, so any slot whose pre-state is wrong is
+            # discarded by the prefix mask below anyway.  Given an emitted
+            # token w the update is deterministic: w == m_0 iff an
+            # end_span fired (m_0 is never a sampleable token), which
+            # resets the state; otherwise sampled == w and the bits
+            # advance.  Keeping the samplers OUT of this scan is the
+            # round-4 restructure: the heavy ops (mask gather, softmax,
+            # nucleus filter, argmax) run ONCE batched over all W slots
+            # instead of 9x sequentially (Finding 9).
+            def chain(c, w):
+                st, c_steps, c_span = c
+                ended = w == t.mask_index
+                st2 = jnp.where(
+                    ended, 0, update_bits(next_bits, st[None], w[None])[0]
                 )
-                if self.greedy:
-                    sampled = greedy_sample(logit_i[None], allowed)
-                else:
-                    spec_tok, _ = spec_accept_resample(
-                        u_i[None], g_i[None], logit_i[None], allowed,
-                        jnp.maximum(d_i, 0)[None],
-                        self.nucleus_p, self.temperature,
-                    )
-                    plain_tok = masked_sample_gumbel(
-                        g_i[None], logit_i[None], allowed,
-                        self.nucleus_p, self.temperature,
-                    )
-                    sampled = jnp.where(is_bonus, plain_tok, spec_tok)
+                steps2 = jnp.where(ended, 1, c_steps + 1)
+                span2 = jnp.where(ended, c_span + 1, c_span)
+                return (st2, steps2, span2), (st2, steps2, span2)
 
-                control_done = (cur_type != SPAN_BODY) & (steps_c >= 2)
-                end_span = (
-                    (sampled == t.eos_index)
-                    | (steps_c >= self.span_cap)
-                    | control_done
-                )
-                new_span = jnp.where(end_span, span_c + 1, span_c)
-                now_done = done_c | (new_span >= n_spans)
-                next_tok = jnp.where(end_span, t.mask_index, sampled)
-                next_tok = jnp.where(now_done, 0, next_tok)
-
-                new_state = update_bits(next_bits, state_c, sampled)
-                new_state = jnp.where(end_span | done_c, 0, new_state)
-                new_steps = jnp.where(end_span, 1, steps_c + 1)
-
-                emit = valid & ~done_c[0]  # scalar
-                # emitted token at absolute position pos + i + 1
-                p_i = pos + i + 1
-                out_new = jnp.where(
-                    emit, out_c.at[0, p_i].set(next_tok[0]), out_c
-                )
-                len_new = jnp.where(
-                    emit & (next_tok[0] != 0), p_i + 1, len_c
-                )
-                # chain: slot i+1's verify input was d_i — logits there
-                # are valid only if that is what was actually emitted
-                valid_next = emit & ~is_bonus & (next_tok[0] == d_i)
-                c_new = (
-                    valid_next,
-                    jnp.where(emit, now_done, done_c),
-                    out_new,
-                    jnp.where(emit, new_state, state_c),
-                    jnp.where(emit, new_steps, steps_c),
-                    jnp.where(emit, new_span, span_c),
-                    len_new,
-                    emitted + emit.astype(jnp.int32),
-                )
-                return c_new, None
-
-            carry0 = (
-                jnp.bool_(True), done, out, state, steps_in_span, span_idx,
-                lengths, jnp.int32(0),
+            _, (st_seq, steps_seq, span_seq) = jax.lax.scan(
+                chain, (state, steps, span), draft
             )
-            xs = (
-                logits_w[0],  # (W, V)
-                g_rows,
-                u_rows,
-                jnp.concatenate([draft, jnp.full((1,), -1, jnp.int32)]),
-                jnp.arange(W),
+            states = jnp.concatenate([state[None], st_seq])      # (W,)
+            steps_w = jnp.concatenate([steps[None], steps_seq])  # (W,)
+            spans_w = jnp.concatenate([span[None], span_seq])    # (W,)
+
+            # ---- one batched sampling pass over all W slots
+            cur_type = span_types[0, jnp.minimum(spans_w, self.max_spans - 1)]
+            allowed = allowed_mask_fast(
+                state_masks, sid_from_bits, states, steps_w == 1, cur_type,
+                no_whole, start_overrides=(t.mode == 1),
+            )  # (W, V)
+            if self.greedy:
+                sampled = greedy_sample(logits_w, allowed)  # (W,)
+            else:
+                proposals = jnp.concatenate(
+                    [jnp.maximum(draft, 0), jnp.zeros((1,), jnp.int32)]
+                )
+                spec_tok, _ = spec_accept_resample(
+                    u_rows, g_rows, logits_w, allowed, proposals,
+                    self.nucleus_p, self.temperature,
+                )
+                plain_tok = masked_sample_gumbel(
+                    g_rows, logits_w, allowed, self.nucleus_p,
+                    self.temperature,
+                )
+                # slot K has no draft: plain sample (the "bonus" token)
+                sampled = jnp.where(W_iota == K, plain_tok, spec_tok)
+
+            # ---- vectorized per-slot baseline bookkeeping
+            control_done = (cur_type != SPAN_BODY) & (steps_w >= 2)
+            end_span = (
+                (sampled == t.eos_index)
+                | (steps_w >= self.span_cap)
+                | control_done
             )
-            (_, done, out, state, steps_in_span, span_idx, lengths,
-             emitted), _ = jax.lax.scan(scan_body, carry0, xs)
-            return (pos + emitted, done, out, cache, state, steps_in_span,
-                    span_idx, lengths)
+            new_span = jnp.where(end_span, spans_w + 1, spans_w)
+            now_done = new_span >= n_spans[0]
+            next_tok = jnp.where(end_span, t.mask_index, sampled)
+            next_tok = jnp.where(now_done, 0, next_tok)
+
+            # accepted prefix: slot i emits iff every earlier slot emitted
+            # its assumed window input and did not finish the session
+            match = jnp.concatenate(
+                [next_tok[:K] == draft, jnp.zeros((1,), bool)]
+            )
+            keep = (match & ~now_done).astype(jnp.int32)
+            prefix_ok = jnp.concatenate(
+                [jnp.ones((1,), jnp.int32), jnp.cumprod(keep)[:K]]
+            ).astype(bool)
+            emit = prefix_ok  # cond guarantees ~done at entry
+            m = jnp.sum(emit.astype(jnp.int32))  # emitted this iteration
+
+            e = jnp.where(emit, next_tok, 0)
+            # single W-row write; non-emitted slots write 0 over positions
+            # that are 0 by construction (never yet emitted)
+            out = jax.lax.dynamic_update_slice(out, e[None], (0, pos + 1))
+            cand = jnp.where(emit & (next_tok != 0), pos + W_iota + 2, 0)
+            lengths = jnp.maximum(lengths, jnp.max(cand))
+
+            # post-state of the LAST emitted slot becomes the carry
+            st_post = jnp.where(
+                end_span, 0, update_bits(next_bits, states, sampled)
+            )
+            steps_post = jnp.where(end_span, 1, steps_w + 1)
+            last = jnp.maximum(m - 1, 0)
+            return (
+                pos + m, done | now_done[last], out, cache,
+                st_post[last], steps_post[last], new_span[last], lengths,
+            )
 
         out = jnp.zeros((1, L), dtype=jnp.int32).at[:, 0].set(t.mask_index)
         carry = (
-            jnp.int32(0), n_spans <= 0, out, cache, jnp.zeros((1,), jnp.int32),
-            jnp.ones((1,), jnp.int32), jnp.zeros((1,), jnp.int32),
-            jnp.ones((1,), jnp.int32),
+            jnp.int32(0), n_spans[0] <= 0, out, cache, jnp.int32(0),
+            jnp.int32(1), jnp.int32(0), jnp.int32(1),
         )
-        pos, done, out, cache, state, steps_in_span, span_idx, lengths = (
+        pos, done, out, cache, state, steps, span, lengths = (
             jax.lax.while_loop(cond, body, carry)
         )
-        return DecodeResult(tokens=out, lengths=lengths, steps=pos)
+        return DecodeResult(
+            tokens=out, lengths=lengths[None], steps=pos
+        )
 
     def _v3_state0(self, t, n_spans, no_whole, B):
         state0 = jnp.stack(
