@@ -40,6 +40,7 @@ from ..ops.decode_step import (
     ST_TOKEN,
     fused_decode_step,
     fused_decode_token,
+    fused_verify_window,
     pack_decoder_weights,
     pack_sampling_tables,
     stack_kv_cache,
@@ -417,8 +418,53 @@ class InfillDecoder:
         K = self.draft_k
         W = K + 1
         V = t.vocab_size
+        cfg = model.cfg
 
-        cache = model.apply(params, 1, L, method=ScoreTransformer.init_self_cache)
+        # verify backend: the v6 pallas kernel when the shape fits (one
+        # weight stream + one KV-chunk DMA pass shared by all W rows —
+        # Finding 9's surviving lever), else the XLA decode_window
+        S_in = src.shape[1]
+        use_kernel = (
+            cfg.d_model % 128 == 0
+            and cfg.d_model // cfg.nhead in (64, 128)
+            and L % CHUNK == 0 and S_in % CHUNK == 0 and S_in <= cfg.max_len
+            and (jax.default_backend() == "tpu" or self.interpret)
+        )
+        if use_kernel:
+            nl, D = cfg.num_decoder_layers, cfg.d_model
+            vpad = vocab_pad(t.vocab_size)
+            packed = pack_decoder_weights(params, cfg, vpad)
+            cross_kv = stack_kv_cache(cross, nl)
+            cross_len = jnp.sum(~src_pad, axis=1).astype(jnp.int32)
+            emb_table = params["params"]["embedding"]["embedding"]
+            pos_table = sinusoidal_table(cfg.max_len, D)
+            cache = jnp.zeros((nl, 1, L, 2 * D), cfg.dtype)
+
+            def verify(window, pos, cache):
+                x = (
+                    emb_table[window] * math.sqrt(D)
+                    + jax.lax.dynamic_slice_in_dim(pos_table, pos, W, axis=0)
+                ).astype(cfg.dtype)
+                lg, new_kv = fused_verify_window(
+                    packed, x, cache, cross_kv, pos, cross_len,
+                    n_layers=nl, d_model=D, nhead=cfg.nhead, d_ff=cfg.d_ff,
+                    vpad=vpad, interpret=self.interpret,
+                )
+                cache = jax.lax.dynamic_update_slice(
+                    cache, new_kv[:, None, :, :], (0, 0, pos, 0)
+                )
+                return lg[:, :V], cache
+        else:
+            cache = model.apply(
+                params, 1, L, method=ScoreTransformer.init_self_cache
+            )
+
+            def verify(window, pos, cache):
+                lg, cache = model.apply(
+                    params, window[None], pos, cache, cross, src_pad,
+                    method=ScoreTransformer.decode_window,
+                )
+                return lg[0], cache
         state_masks, sid_from_bits, next_bits = self.fast_tables
 
         g_rng, u_rng = jax.random.split(rng)
@@ -473,11 +519,7 @@ class InfillDecoder:
             out_row = out[0]
             draft = build_draft(out_row, pos)
             window = jnp.concatenate([out_row[pos][None], draft])  # (W,)
-            logits_w, cache = model.apply(
-                params, window[None], pos, cache, cross, src_pad,
-                method=ScoreTransformer.decode_window,
-            )
-            logits_w = logits_w[0]  # (W, V)
+            logits_w, cache = verify(window, pos, cache)  # (W, V)
             g_rows = jax.lax.dynamic_slice(noise, (pos, 0), (W, V))
             u_rows = jax.lax.dynamic_slice(uniforms, (pos,), (W,))
 

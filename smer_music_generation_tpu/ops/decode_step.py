@@ -1136,3 +1136,322 @@ def fused_decode_tokens(
         interpret=interpret,
     )(*args)
     return new_state, tokens, new_kv
+
+
+# ---------------------------------------------------------------------------
+# v6: W-row teacher-forced verify kernel for speculative decode
+# (infer/decode.py::_decode_v5).  One pallas program scores ALL W window
+# rows (current token + K drafts): the per-layer weight stream — the
+# dominant B=1 decode cost — is paid ONCE for the whole window, and every
+# self/cross KV chunk is DMA'd once and shared by all W queries via a
+# multi-query online-softmax (vs W× the traffic if the rows attended
+# separately).  This is the surviving Finding-9 lever: the XLA-path
+# verify loses to the fused single-token kernel on per-iteration op
+# count; this program makes the verify cost ~one fused step.
+# ---------------------------------------------------------------------------
+
+
+def _multi_query_maps(W: int, H: int, HD: int):
+    """Static indicator constants for W-query head-packed attention.
+
+    The W*H score columns pack (query w, head h) pairs as w*H + h.
+    Mosaic cannot lane-split reshapes, so packing/selection are MXU
+    matmuls against these constants (same idiom as _head_maps):
+      I_W    (W, W)    identity — transposes via contraction
+      R      (W, W*H)  R[w, w*H+h] = 1       — replicate per head
+      RH     (H, W*H)  RH[h, w*H+h] = 1      — replicate per query
+      CAUSAL (W, W*H)  [key tk <= query w]   — in-window causality
+    """
+    WH = W * H
+    i_a = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
+    i_b = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
+    I_W = (i_a == i_b).astype(jnp.float32)
+    w_r = jax.lax.broadcasted_iota(jnp.int32, (W, WH), 0)
+    c_r = jax.lax.broadcasted_iota(jnp.int32, (W, WH), 1)
+    R = (c_r // H == w_r).astype(jnp.float32)
+    h_r = jax.lax.broadcasted_iota(jnp.int32, (H, WH), 0)
+    c_h = jax.lax.broadcasted_iota(jnp.int32, (H, WH), 1)
+    RH = (c_h % H == h_r).astype(jnp.float32)
+    CAUSAL = (w_r <= c_r // H)  # key row tk visible to query w iff tk <= w
+    return I_W, R, RH, CAUSAL
+
+
+def _flash_attend_multi(
+    q,  # (W, D) f32 — W query rows (all heads)
+    kv_hbm_at,  # fn(chunk) -> hbm slice ref for (CHUNK, 2D) interleaved rows
+    n_valid,  # scalar int32 — shared by ALL queries (the cached prefix)
+    max_chunks: int,
+    kvbuf, sems,
+    H: int, HD: int,
+    M,  # (D, H) head map (from _head_maps)
+    maps,  # (I_W, R, RH, CAUSAL) from _multi_query_maps
+    win_kv=None,  # optional (W, 2D) f32 in-window rows, causal-masked
+):
+    """Multi-query online-softmax: one pass over the chunked cache scores
+    all W queries.  Accumulator layout keeps W*H in the LANE dim
+    ((1, W*H) running max/sum, (D, W*H) weighted-value accumulator) so
+    every rescale broadcasts without a transpose."""
+    W = q.shape[0]
+    D = H * HD
+    WH = W * H
+    scale = 1.0 / math.sqrt(HD)
+    I_W, R, RH, CAUSAL = maps
+
+    # masked-query matrix (D, W*H): column w*H+h = q[w] ⊙ M[:, h]
+    qT = jax.lax.dot_general(
+        q, I_W, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (D, W)
+    M_rep = jnp.dot(M, RH, preferred_element_type=jnp.float32)  # (D, WH)
+    Qm = jnp.dot(qT, R, preferred_element_type=jnp.float32) * M_rep
+
+    def issue(c, slot):
+        @pl.when((c < max_chunks) & (c * CHUNK < n_valid))
+        def _():
+            pltpu.make_async_copy(kv_hbm_at(c), kvbuf.at[slot], sems.at[slot]).start()
+
+    issue(0, 0)
+
+    def body(c, carry):
+        m, l, acc = carry  # (1, WH), (1, WH), (D, WH) f32
+        slot = c % 2
+        issue(c + 1, (c + 1) % 2)
+
+        @pl.when(c * CHUNK < n_valid)
+        def _():
+            pltpu.make_async_copy(kv_hbm_at(c), kvbuf.at[slot], sems.at[slot]).wait()
+
+        kvc = kvbuf[slot].astype(jnp.float32)  # (CHUNK, 2D)
+        kc = kvc[:, :D]
+        vc = kvc[:, D:]
+        scores = jnp.dot(kc, Qm, preferred_element_type=jnp.float32) * scale
+        rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, WH), 0) + c * CHUNK
+        scores = jnp.where(rows < n_valid, scores, -jnp.inf)
+        rows_d = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, D), 0) + c * CHUNK
+        vc = jnp.where(rows_d < n_valid, vc, 0.0)
+
+        m_c = jnp.max(scores, axis=0, keepdims=True)
+        m_new = jnp.maximum(m, m_c)
+        safe = jnp.where(m_new == -jnp.inf, 0.0, m_new)
+        alpha = jnp.exp(m - safe)  # (1, WH)
+        p = jnp.exp(scores - safe)  # (CHUNK, WH)
+        l_new = l * alpha + jnp.sum(p, axis=0, keepdims=True)
+        pv = jax.lax.dot_general(
+            vc, p, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (D, WH)
+        acc_new = acc * alpha + pv
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((1, WH), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((1, WH), jnp.float32)
+    acc0 = jnp.zeros((D, WH), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, max_chunks, body, (m0, l0, acc0))
+
+    if win_kv is not None:
+        kc = win_kv[:, :D]  # (W, D)
+        vc = win_kv[:, D:]
+        sc = jnp.dot(kc, Qm, preferred_element_type=jnp.float32) * scale
+        sc = jnp.where(CAUSAL, sc, -jnp.inf)  # (W, WH)
+        m_c = jnp.max(sc, axis=0, keepdims=True)
+        m_new = jnp.maximum(m, m_c)
+        safe = jnp.where(m_new == -jnp.inf, 0.0, m_new)
+        alpha = jnp.exp(m - safe)
+        p = jnp.exp(sc - safe)  # (W, WH)
+        l = l * alpha + jnp.sum(p, axis=0, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            vc, p, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m = m_new
+
+    # head-select back to (W, D): out[w, d] = acc[d, w*H+h(d)] / l[w*H+h(d)]
+    accM = acc * M_rep  # zero columns' foreign dims
+    num = jax.lax.dot_general(
+        accM, R, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (D, W)
+    den = jax.lax.dot_general(
+        l * M_rep, R, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (D, W) — but l is (1, WH): broadcast over D via M_rep
+    out_T = num / jnp.maximum(den, 1e-38)  # (D, W)
+    # transpose to (W, D) via identity contraction (no tpu.transpose)
+    return jax.lax.dot_general(
+        I_W, out_T, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _kernel_verify(
+    scalars,  # (2,) int32: [index, cross_len]
+    x_ref, w_attn, bias, ln, w_ff1, w_ff2, fc_w, fc_b,
+    self_kv, cross_kv,
+    *rest,
+    W: int, D: int, H: int, L: int, S: int, F: int, n_layers: int,
+    fin: bool = False,
+):
+    rest = list(rest)
+    fin_ln = rest.pop(0) if fin else None
+    logits_ref, newkv_ref, x_s, kvbuf, sems = rest
+    i = pl.program_id(0)
+    HD = D // H
+    M, _ = _head_maps(H, HD)
+    maps = _multi_query_maps(W, H, HD)
+    index = scalars[0]
+    b_all = bias[0, 0]
+
+    @pl.when(i == 0)
+    def _():
+        x_s[:] = x_ref[:].astype(jnp.float32)
+
+    x = x_s[:]  # (W, D) f32
+    dt = w_attn.dtype
+
+    qkv = (
+        jnp.dot(x.astype(dt), w_attn[0][:, : 3 * D], preferred_element_type=jnp.float32)
+        + b_all[: 3 * D]
+    )  # (W, 3D)
+    q = qkv[:, :D]
+    new_rows = qkv[:, D:]  # (W, 2D) interleaved K|V
+    newkv_ref[0] = new_rows.astype(newkv_ref.dtype)
+
+    att = _flash_attend_multi(
+        q,
+        lambda c: self_kv.at[i, 0, pl.ds(c * CHUNK, CHUNK), :],
+        index, L // CHUNK, kvbuf, sems, H, HD, M, maps,
+        win_kv=new_rows,
+    )  # (W, D)
+    o = (
+        jnp.dot(att.astype(dt), w_attn[0][:, 3 * D : 4 * D], preferred_element_type=jnp.float32)
+        + b_all[3 * D : 4 * D]
+    )
+    x = _layernorm(x + o, ln[0, 0], ln[0, 1])
+
+    qc = (
+        jnp.dot(x.astype(dt), w_attn[0][:, 4 * D : 5 * D], preferred_element_type=jnp.float32)
+        + b_all[4 * D : 5 * D]
+    )
+    att = _flash_attend_multi(
+        qc,
+        lambda c: cross_kv.at[i, 0, pl.ds(c * CHUNK, CHUNK), :],
+        scalars[1], S // CHUNK, kvbuf, sems, H, HD, M, maps,
+    )
+    o = (
+        jnp.dot(att.astype(dt), w_attn[0][:, 5 * D : 6 * D], preferred_element_type=jnp.float32)
+        + b_all[5 * D : 6 * D]
+    )
+    x = _layernorm(x + o, ln[0, 2], ln[0, 3])
+
+    h = (
+        jnp.dot(x.astype(dt), w_ff1[0], preferred_element_type=jnp.float32)
+        + b_all[6 * D : 6 * D + F]
+    )
+    h = jnp.maximum(h, 0.0)
+    y = (
+        jnp.dot(h.astype(dt), w_ff2[0], preferred_element_type=jnp.float32)
+        + b_all[6 * D + F : 6 * D + F + D]
+    )
+    x = _layernorm(x + y, ln[0, 4], ln[0, 5])
+    x_s[:] = x
+
+    @pl.when(i == n_layers - 1)
+    def _():
+        out = _layernorm(x, fin_ln[0], fin_ln[1]) if fin else x
+        logits_ref[:] = (
+            jnp.dot(out, fc_w[:], preferred_element_type=jnp.float32) + fc_b[:]
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_layers", "d_model", "nhead", "d_ff", "vpad", "interpret"),
+)
+def fused_verify_window(
+    packed: Dict[str, jax.Array],
+    x_emb: jax.Array,  # (W, D) compute-dtype embedded window rows (+PE)
+    self_kv: jax.Array,  # (n_layers, 1, L, 2D)
+    cross_kv: jax.Array,  # (n_layers, 1, S, 2D)
+    index: jax.Array,  # scalar int32: valid cached self rows (= position)
+    cross_len: jax.Array,  # (1,) int32
+    *,
+    n_layers: int,
+    d_model: int,
+    nhead: int,
+    d_ff: int,
+    vpad: int,
+    interpret: bool = False,
+):
+    """Returns (logits (W, vpad) f32, new_kv (n_layers, W, 2D)).
+
+    Teacher-forced W-row decode: row j attends the shared cached prefix
+    [0, index) plus window rows <= j; logits[j] is the next-token
+    distribution after window[:j+1] — slot-exact with W sequential
+    fused_decode_step calls (tested, tests/test_ops.py)."""
+    W = x_emb.shape[0]
+    L = self_kv.shape[2]
+    S = cross_kv.shape[2]
+    D = d_model
+    F = d_ff
+    assert L % CHUNK == 0 and S % CHUNK == 0, (L, S)
+    dt = self_kv.dtype
+    fin = "fin_ln" in packed
+    assert "scale" not in packed, "verify kernel does not support int8"
+
+    scalars = jnp.stack(
+        [jnp.asarray(index, jnp.int32), cross_len.astype(jnp.int32)[0]]
+    )
+
+    def layer_block(shape, buffers=2):
+        return pl.BlockSpec(
+            (1, *shape),
+            lambda i, *_refs: (i, *([0] * len(shape))),
+            pipeline_mode=pl.Buffered(buffer_count=buffers),
+        )
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # x_emb
+        layer_block((D, 6 * D)),  # w_attn
+        layer_block((1, 7 * D + F)),  # bias strip
+        layer_block((6, D)),  # ln
+        layer_block((D, F)),  # w_ff1
+        layer_block((F, D), buffers=1),  # w_ff2
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # fc_w
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # fc_b
+        pl.BlockSpec(memory_space=pl.ANY),  # self_kv
+        pl.BlockSpec(memory_space=pl.ANY),  # cross_kv
+    ]
+    args = [
+        x_emb,
+        packed["w_attn"], packed["bias"], packed["ln"],
+        packed["w_ff1"], packed["w_ff2"],
+        packed["fc_w"], packed["fc_b"],
+        self_kv, cross_kv,
+    ]
+    if fin:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.append(packed["fin_ln"])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_layers,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # logits (W, vpad)
+            pl.BlockSpec((1, W, 2 * D), lambda i, *_refs: (i, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((W, D), jnp.float32),  # x_s
+            pltpu.VMEM((2, CHUNK, 2 * D), dt),  # kvbuf
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel_verify, W=W, D=D, H=nhead, L=L, S=S, F=F,
+        n_layers=n_layers, fin=fin,
+    )
+    logits, new_kv = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((W, vpad), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, W, 2 * D), dt),
+        ),
+        interpret=interpret,
+    )(scalars, *args)
+    return logits, new_kv

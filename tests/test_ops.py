@@ -701,3 +701,100 @@ def test_fused_attn_train_model_integration():
     assert results[True][0] != results[False][0]  # new dropout stream engaged
     assert results[True][1] == results[False][1]  # deterministic pass inert
     assert abs(results[True][0] - results[False][0]) / results[False][0] < 0.05
+
+
+def test_fused_verify_window_matches_decode_window():
+    """v6 verify kernel (interpret) == ScoreTransformer.decode_window:
+    slot-exact logits for all W rows and identical new K/V, both at a
+    cold cache and mid-stream over a warm cache."""
+    from smer_music_generation_tpu.models.transformer import ScoreTransformer
+    from smer_music_generation_tpu.ops.decode_step import (
+        fused_verify_window,
+        pack_decoder_weights,
+        stack_kv_cache,
+        vocab_pad,
+    )
+
+    B, V, S, L, nl = 1, 309, 512, 512, 2
+    cfg, model, params, src = _decode_fixture(B, V, S, L, nl)
+    D = cfg.d_model
+    W = 6
+
+    src_pad = np.zeros((B, S), bool)
+    src_pad[0, 400:] = True
+    src_pad = jnp.asarray(src_pad)
+    memory = model.apply(params, src, src_pad, method=ScoreTransformer.encode)
+    cross = model.apply(params, memory, method=ScoreTransformer.init_cross_cache)
+    cache = model.apply(params, B, L, method=ScoreTransformer.init_self_cache)
+
+    cross_kv = stack_kv_cache(cross, nl)
+    cross_len = jnp.asarray([400], jnp.int32)
+    self_kv = jnp.zeros((nl, B, L, 2 * D), cfg.dtype)
+    packed = pack_decoder_weights(params, cfg, vocab_pad(V))
+    pe = model.apply(params, method=lambda m: m.pos_table)
+    emb = params["params"]["embedding"]["embedding"]
+
+    rng = jax.random.PRNGKey(3)
+    for start in (0, W):  # cold cache, then warm mid-stream
+        toks = jax.random.randint(jax.random.fold_in(rng, start), (B, W), 1, V)
+        lg_ref, cache = model.apply(
+            params, toks, jnp.int32(start), cache, cross, src_pad,
+            method=ScoreTransformer.decode_window,
+        )
+        x = (emb[toks[0]] * np.sqrt(D) + pe[start : start + W]).astype(cfg.dtype)
+        lg, new_kv = fused_verify_window(
+            packed, x, self_kv, cross_kv, jnp.int32(start), cross_len,
+            n_layers=nl, d_model=D, nhead=cfg.nhead, d_ff=cfg.d_ff,
+            vpad=vocab_pad(V), interpret=True,
+        )
+        self_kv = jax.lax.dynamic_update_slice(
+            self_kv, new_kv[:, None, :, :], (0, 0, start, 0))
+        a = np.asarray(lg_ref)[0]          # (W, V)
+        b = np.asarray(lg)[:, :V]          # (W, V)
+        np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-2)
+        assert (a.argmax(-1) == b.argmax(-1)).all(), start
+        # cache rows must agree with the model's own cache
+        for li in range(nl):
+            k_ref, v_ref = cache[f"layer_{li}"]
+            kv_ker = np.asarray(self_kv[li, 0, start : start + W])
+            k_flat = np.asarray(k_ref[0, start : start + W]).reshape(W, D)
+            v_flat = np.asarray(v_ref[0, start : start + W]).reshape(W, D)
+            np.testing.assert_allclose(kv_ker[:, :D], k_flat, rtol=2e-2, atol=2e-2)
+            np.testing.assert_allclose(kv_ker[:, D:], v_flat, rtol=2e-2, atol=2e-2)
+
+
+def test_spec_decode_kernel_verify_greedy_matches_xla():
+    """v5 with the v6 verify kernel (interpret) must reproduce the
+    baseline greedy stream bit-for-bit, same as the XLA-verify v5."""
+    from smer_music_generation_tpu.infer.decode import InfillDecoder, pad_to_bucket
+    from smer_music_generation_tpu.vocab import CONTROL_SETS, WordVocab
+
+    vocab = WordVocab(0, CONTROL_SETS[5])
+    cfg, model, params, _ = _decode_fixture(1, vocab.vocab_size, 512, 512, 2)
+
+    src_tokens = ["4/4", "t_3", "k_0", "d_2", "o_2", "y_2", "i_0",
+                  "bar", "s_2", "track_0", "d_2", "o_2", "y_2", "m_0",
+                  "m_0", "m_0", "m_0", "m_0"]
+    src = np.array([[vocab.char2index(t) for t in src_tokens]], np.int32)
+    src = pad_to_bucket(src, bucket=512)
+    span_types = np.zeros((1, 256), np.int32)
+    span_types[0, :5] = [0, 1, 2, 3, 4]
+    n_spans = np.asarray([5], np.int32)
+
+    base = InfillDecoder(model, vocab, max_tgt_len=512, greedy=True,
+                         fused=False)
+    spec_xla = InfillDecoder(model, vocab, max_tgt_len=512, greedy=True,
+                             fused=False, draft_k=4)
+    spec_ker = InfillDecoder(model, vocab, max_tgt_len=512, greedy=True,
+                             fused=False, draft_k=4, interpret=True)
+    # the interpret decoder must actually take the kernel path
+    import jax as _jax
+    assert _jax.default_backend() != "tpu"  # CPU CI: gate is interpret
+    rb = base(params, src, span_types, n_spans, False, jax.random.PRNGKey(0))
+    rx = spec_xla(params, src, span_types, n_spans, False, jax.random.PRNGKey(0))
+    rk = spec_ker(params, src, span_types, n_spans, False, jax.random.PRNGKey(0))
+    Lb = int(rb.lengths[0])
+    assert int(rx.lengths[0]) == Lb and int(rk.lengths[0]) == Lb
+    ref = np.asarray(rb.tokens[0, :Lb])
+    np.testing.assert_array_equal(ref, np.asarray(rx.tokens[0, :Lb]))
+    np.testing.assert_array_equal(ref, np.asarray(rk.tokens[0, :Lb]))
