@@ -47,6 +47,12 @@ def main():
     ap.add_argument("--token-chunk", type=int, default=1)
     ap.add_argument("--full-only", action="store_true",
                     help="skip the floor/step/sample isolation loops")
+    ap.add_argument("--draft-k", type=int, default=0,
+                    help="speculative decode draft width for the full leg")
+    ap.add_argument("--greedy", action="store_true")
+    ap.add_argument("--r6", action="store_true",
+                    help="use the trained r6 checkpoint + a real corpus "
+                    "window (draft acceptance needs real model output)")
     args = ap.parse_args()
     N, L, S, B = args.iters, args.cache_len, args.src_len, args.batch
 
@@ -78,6 +84,31 @@ def main():
 
     src = jnp.ones((B, S), jnp.int32)
     src_pad = src == 0
+
+    if args.r6:
+        from smer_music_generation_tpu.data.pack import load_batches
+        from smer_music_generation_tpu.infer.decode import pad_to_bucket
+        from smer_music_generation_tpu.infer.engine import mask_bar_and_track
+        from smer_music_generation_tpu.train.checkpoint import restore_params_only
+        from smer_music_generation_tpu.train.state import TrainState
+
+        state = TrainState.create(params, lr=1e-4)
+        params, _ = restore_params_only(
+            "runs/flagship_r6/checkpoints/checkpoint_19",
+            jax.eval_shape(lambda: state),
+        )
+        groups, _ = load_batches("corpus/data/smer_test")
+        for w in (x for g in groups for x in g):
+            if len(w) < 400:
+                continue
+            res = mask_bar_and_track(list(w), vocab, [0, 1], list(range(8)))
+            if res is not None:
+                src_ids, span_codes, _, _ = res
+                break
+        src = jnp.asarray(pad_to_bucket(np.asarray(src_ids, np.int32)[None]))
+        _full_decode(args, model, vocab, params, src, L, B,
+                     span_codes=span_codes)
+        return
 
     if args.full_only:
         _full_decode(args, model, vocab, params, src, L, B)
@@ -167,13 +198,20 @@ def main():
     _full_decode(args, model, vocab, params, src, L, B)
 
 
-def _full_decode(args, model, vocab, params, src, L, B):
+def _full_decode(args, model, vocab, params, src, L, B, span_codes=None):
     from smer_music_generation_tpu.infer.decode import InfillDecoder
 
-    decoder = InfillDecoder(model, vocab, max_tgt_len=L, nucleus_p=0.9,
-                            quant=args.quant, token_chunk=args.token_chunk)
+    decoder = InfillDecoder(model, vocab, max_tgt_len=L,
+                            nucleus_p=None if args.greedy else 0.9,
+                            greedy=args.greedy,
+                            quant=args.quant, token_chunk=args.token_chunk,
+                            draft_k=args.draft_k)
     span_types = np.zeros((B, decoder.max_spans), np.int32)
-    n_spans = np.full((B,), 64, np.int32)
+    if span_codes is not None:
+        span_types[:, : len(span_codes)] = span_codes
+        n_spans = np.full((B,), len(span_codes), np.int32)
+    else:
+        n_spans = np.full((B,), 64, np.int32)
 
     def full(params, src, rng):
         return decoder(params, np.asarray(src), span_types, n_spans, False, rng)
@@ -187,8 +225,10 @@ def _full_decode(args, model, vocab, params, src, L, B):
         jax.block_until_ready(out.tokens)
         best = min(best, time.perf_counter() - t0)
     steps = int(out.steps)
-    print(f"full_decode  : {best / steps * 1e6:8.1f} us/tok  ({steps} steps, "
-          f"quant={args.quant}, chunk={args.token_chunk})")
+    print(f"full_decode  : {best / steps * 1e6:8.1f} us/tok  ({steps} tokens, "
+          f"{best*1e3:.1f} ms total, quant={args.quant}, "
+          f"chunk={args.token_chunk}, draft_k={args.draft_k}, "
+          f"greedy={args.greedy})")
 
 
 if __name__ == "__main__":
