@@ -13,6 +13,14 @@ step() { echo "=== $(date -u +%H:%M:%S) START $1 ==="; }
 step wait_chain2
 while kill -0 "$(cat /tmp/chain2.pid)" 2>/dev/null; do sleep 60; done
 
+# 0b. spec-decode per-token A/B at real session content (Finding 9
+#     addendum): fused v3 baseline vs v5 kernel-verify, greedy + nucleus
+step spec_micro
+for flags in "--greedy" "--greedy --draft-k 8" "" "--draft-k 8" "--draft-k 4"; do
+  timeout 1800 python scripts/microbench_decode.py --r6 --full-only $flags \
+    >> /tmp/r4_specmicro.log 2>&1 || true
+done
+
 step r8_binned_train
 timeout 10800 python -m smer_music_generation_tpu.train.loop \
   --train_batches corpus/data/smer_training \
