@@ -428,7 +428,10 @@ class InfillDecoder:
             cfg.d_model % 128 == 0
             and cfg.d_model // cfg.nhead in (64, 128)
             and L % CHUNK == 0 and S_in % CHUNK == 0 and S_in <= cfg.max_len
-            and (jax.default_backend() == "tpu" or self.interpret)
+            and (
+                self.interpret  # CPU tests exercise the kernel explicitly
+                or (jax.default_backend() == "tpu" and self.fused is not False)
+            )
         )
         if use_kernel:
             nl, D = cfg.num_decoder_layers, cfg.d_model
