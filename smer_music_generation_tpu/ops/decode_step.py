@@ -1409,7 +1409,13 @@ def fused_verify_window(
         layer_block((D, 6 * D)),  # w_attn
         layer_block((1, 7 * D + F)),  # bias strip
         layer_block((6, D)),  # ln
-        layer_block((D, F)),  # w_ff1
+        # single-buffered FFN blocks: the W-row verify carries larger
+        # score/accumulator intermediates ((CHUNK, W*H), (D, W*H)) than
+        # the single-token kernels, and double-buffering w_ff1 put the
+        # program 34 KB over the 16 MB scoped-VMEM limit on v5e — a
+        # borderline compile that mis-executed in-loop before it was
+        # caught standalone (f32 sampling values off while argmax held)
+        layer_block((D, F), buffers=1),  # w_ff1
         layer_block((F, D), buffers=1),  # w_ff2
         pl.BlockSpec(memory_space=pltpu.VMEM),  # fc_w
         pl.BlockSpec(memory_space=pltpu.VMEM),  # fc_b
