@@ -130,16 +130,45 @@ class InfillDecoder:
                 f"max_tgt_len={self.max_tgt_len} exceeds the model's "
                 f"positional limit max_len={cfg.max_len}"
             )
-        kernel_fits = (
+        self._kernel_fits = (
             cfg.d_model % 128 == 0
             and cfg.d_model // cfg.nhead in (64, 128)
             and self.max_tgt_len % CHUNK == 0
         )
-        if self.fused is None:
-            self.fused = jax.default_backend() == "tpu" and kernel_fits
-        elif self.fused and not kernel_fits:
+        if self.fused and not self._kernel_fits:
             raise ValueError(
                 f"fused decode needs d_model%128==0 and max_tgt_len%{CHUNK}==0"
+            )
+        if self.draft_k > 0 and self.quant != "none":
+            raise ValueError(
+                "speculative decode (draft_k > 0) runs the XLA cache path "
+                "and cannot stream quantized weights; drop one of the two"
+            )
+        if self.fused is not None:
+            # explicit choice: validate dependent flags eagerly (still no
+            # device touch).  fused=None ('auto') defers to the first call
+            # — construction must never initialize the backend (the round-4
+            # driver bench died on a FailedPrecondition raised here).
+            self.resolve_backend()
+        # one wrapper serves both call shapes: jax.jit caches per
+        # signature, so forced and unforced calls compile separately anyway
+        self._decode_jit = jax.jit(self._decode, static_argnames=("self",))
+
+    def resolve_backend(self) -> None:
+        """Resolve ``fused=None`` ('auto') against the live backend.
+
+        Deferred from ``__post_init__`` so that CONSTRUCTING a decoder
+        never initializes (or talks to) the device backend — the tables
+        are all host numpy and the jit wrapper is lazy, so an engine can
+        be built while the chip is busy, tunnelled-out, or absent.
+        Runs (and mutates flags) only before the first trace is cached:
+        ``self`` is a static jit argument hashed by identity, so any
+        flag change after a compile would be silently ignored — every
+        decode entry point calls this first.
+        """
+        if self.fused is None:
+            self.fused = (
+                jax.default_backend() == "tpu" and self._kernel_fits
             )
         if self.fused_sampling is None:
             self.fused_sampling = self.fused
@@ -150,14 +179,6 @@ class InfillDecoder:
                 "token_chunk > 1 (kernel looping) requires the fused-sampling "
                 "kernel path"
             )
-        if self.draft_k > 0 and self.quant != "none":
-            raise ValueError(
-                "speculative decode (draft_k > 0) runs the XLA cache path "
-                "and cannot stream quantized weights; drop one of the two"
-            )
-        # one wrapper serves both call shapes: jax.jit caches per
-        # signature, so forced and unforced calls compile separately anyway
-        self._decode_jit = jax.jit(self._decode, static_argnames=("self",))
 
     # -- public API -----------------------------------------------------
     def __call__(
@@ -177,6 +198,7 @@ class InfillDecoder:
         resumes a session after the host rewrites a control token).  The
         prefix uses the output-stream convention (``m_0`` span markers, no
         <eos>); sampling takes over at ``forced_len``.  XLA path only."""
+        self.resolve_backend()
         src = jnp.asarray(src, dtype=jnp.int32)
         span_types = jnp.asarray(span_types, dtype=jnp.int32)
         n_spans = jnp.asarray(n_spans, dtype=jnp.int32)

@@ -490,6 +490,9 @@ class InfillEngine:
         B = len(requests)
         if B == 0:
             return []
+        # first device-facing moment: resolve the decoder's auto backend
+        # flags (deferred from construction — see decode.resolve_backend)
+        self.decoder.resolve_backend()
         # Large batches run as fused-kernel groups of 8 per chip: the
         # kernel's aggregate throughput at B=8 is ~3x the XLA batched path
         # at B=16 (see infer/decode.py B gate), so chunking wins on both

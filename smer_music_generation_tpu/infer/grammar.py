@@ -15,6 +15,15 @@ here the whole machine becomes:
 
 Everything is traced once and runs inside the jitted decode loop.
 
+All tables are built HOST-SIDE (numpy): engine construction must never
+touch the accelerator, so a decoder can be built while the chip is busy,
+unreachable, or in a bad state (the round-4 driver bench died with a TPU
+``FailedPrecondition`` inside ``build_fast_tables``'s device round trips
+— VERDICT r4 weak #1).  The reference-semantics functions take an ``xp``
+module argument (numpy for eager table building, ``jax.numpy`` inside
+jit) and the fast-path lookups ``jnp.asarray`` their tables at trace
+time, where numpy inputs become compile-time constants for free.
+
 Conscious divergences (SURVEY.md §2.6): ``<pad>`` and ``m_0`` are banned in
 every state (the reference leaves them sampleable at ~e^-100 mass), and the
 ``no_control`` flag actually bans control tokens (the reference's
@@ -57,7 +66,11 @@ class GrammarState(NamedTuple):
 
 @dataclass
 class GrammarTables:
-    """Dense masks on device; build once per vocab (both encodings)."""
+    """Dense masks, HOST-side numpy; build once per vocab (both encodings).
+
+    Inside a jitted program the numpy arrays become compile-time
+    constants (V is 309/349 — a few KB); nothing here ever dispatches a
+    device op at construction time."""
 
     pitch: jnp.ndarray
     duration_only: jnp.ndarray
@@ -97,17 +110,17 @@ class GrammarTables:
                 fam[code] = m[name]
         zeros = np.zeros(V, bool)
         return cls(
-            pitch=jnp.asarray(m["pitch"]),
-            duration_only=jnp.asarray(m["duration_only"]),
-            whole=jnp.asarray(m.get("whole_duration", zeros)),
-            rest=jnp.asarray(m.get("rest", zeros) if vocab.mode == 0 else zeros),
-            sep=jnp.asarray(m.get("sep", zeros) if vocab.mode == 0 else zeros),
-            continue_=jnp.asarray(m.get("continue", zeros)),
-            step=jnp.asarray(m.get("step", zeros)),
-            eos=jnp.asarray(m["eos"]),
-            control=jnp.asarray(m["control"]),
-            always_banned=jnp.asarray(always),
-            span_family=jnp.asarray(fam),
+            pitch=np.asarray(m["pitch"]),
+            duration_only=np.asarray(m["duration_only"]),
+            whole=np.asarray(m.get("whole_duration", zeros)),
+            rest=np.asarray(m.get("rest", zeros) if vocab.mode == 0 else zeros),
+            sep=np.asarray(m.get("sep", zeros) if vocab.mode == 0 else zeros),
+            continue_=np.asarray(m.get("continue", zeros)),
+            step=np.asarray(m.get("step", zeros)),
+            eos=np.asarray(m["eos"]),
+            control=np.asarray(m["control"]),
+            always_banned=np.asarray(always),
+            span_family=np.asarray(fam),
             continue_index=getattr(vocab, "continue_index", -1),
             eos_index=vocab.eos_index,
             mask_index=vocab.mask_index,
@@ -122,19 +135,20 @@ def allowed_mask(
     is_start: jnp.ndarray,  # (B,) bool: only m_0 emitted so far in span
     span_type: jnp.ndarray,  # (B,) int32 span code
     no_whole_duration,  # scalar or (B,) bool (time signature < 4/4)
+    xp=jnp,  # numpy for host-side table building, jnp under trace
 ) -> jnp.ndarray:
     """(B, V) boolean mask, True = sampleable, per the dispatch priority."""
     B = state.in_sep.shape[0]
     V = t.vocab_size
 
     if t.mode == 1:
-        return _allowed_mask_remi(t, state, is_start, span_type)
+        return _allowed_mask_remi(t, state, is_start, span_type, xp=xp)
 
-    no_whole = jnp.broadcast_to(jnp.asarray(no_whole_duration), (B,))
+    no_whole = xp.broadcast_to(xp.asarray(no_whole_duration), (B,))
     whole_b = no_whole[:, None] & t.whole[None, :]  # (B, V)
 
     def bcast(mask):
-        return jnp.broadcast_to(mask[None, :], (B, V))
+        return xp.broadcast_to(mask[None, :], (B, V))
 
     dur = bcast(t.duration_only) & ~whole_b
     free = ~(bcast(t.always_banned | t.control) | whole_b)
@@ -144,18 +158,18 @@ def allowed_mask(
     in_pitch = bcast(t.pitch) | dur
     in_rest = dur
 
-    start_mask = jnp.where(
+    start_mask = xp.where(
         (span_type != SPAN_BODY)[:, None],
-        t.span_family[span_type],
+        xp.asarray(t.span_family)[span_type],
         start_body,
     )
 
     out = free
-    out = jnp.where(is_start[:, None], start_mask, out)
-    out = jnp.where(state.in_rest[:, None], in_rest, out)
-    out = jnp.where(state.in_pitch[:, None], in_pitch, out)
-    out = jnp.where(state.in_continue[:, None], in_continue, out)
-    out = jnp.where(state.in_sep[:, None], in_sep, out)
+    out = xp.where(is_start[:, None], start_mask, out)
+    out = xp.where(state.in_rest[:, None], in_rest, out)
+    out = xp.where(state.in_pitch[:, None], in_pitch, out)
+    out = xp.where(state.in_continue[:, None], in_continue, out)
+    out = xp.where(state.in_sep[:, None], in_sep, out)
     return out
 
 
@@ -164,6 +178,7 @@ def _allowed_mask_remi(
     state: GrammarState,
     is_start: jnp.ndarray,
     span_type: jnp.ndarray,
+    xp=jnp,
 ) -> jnp.ndarray:
     """Mode-1 (REMI) grammar: a 3-state onset machine (reference
     ``evaluation.py:1150-1213`` + ``sampling_step_single/multi``):
@@ -180,17 +195,17 @@ def _allowed_mask_remi(
     state_c = t.pitch | t.duration_only
 
     def bcast(mask):
-        return jnp.broadcast_to(mask[None, :], (B, V))
+        return xp.broadcast_to(mask[None, :], (B, V))
 
-    start_mask = jnp.where(
+    start_mask = xp.where(
         (span_type != SPAN_BODY)[:, None],
-        t.span_family[span_type],
+        xp.asarray(t.span_family)[span_type],
         bcast(state_a),
     )
     out = bcast(state_a)
-    out = jnp.where(state.in_pitch[:, None], bcast(state_c), out)
-    out = jnp.where(state.in_continue[:, None], bcast(state_b), out)
-    out = jnp.where(is_start[:, None], start_mask, out)
+    out = xp.where(state.in_pitch[:, None], bcast(state_c), out)
+    out = xp.where(state.in_continue[:, None], bcast(state_b), out)
+    out = xp.where(is_start[:, None], start_mask, out)
     return out
 
 
@@ -216,10 +231,12 @@ N_SID = 10
 
 def build_fast_tables(t: GrammarTables):
     """Returns (state_masks (2, N_SID, V) bool, sid_from_bits (16,) int32,
-    next_bits (16, V) int32), all device arrays."""
+    next_bits (16, V) int32) — HOST numpy arrays, built without a single
+    device dispatch (engine construction must survive a busy/broken
+    backend; the jitted consumers constant-fold them at trace time)."""
     V = t.vocab_size
-    f = jnp.zeros((1,), bool)
-    tr = jnp.ones((1,), bool)
+    f = np.zeros((1,), bool)
+    tr = np.ones((1,), bool)
 
     def state_for_sid(sid):
         bits = {1: (f, f, f, tr), 2: (f, f, tr, f), 3: (f, tr, f, f),
@@ -229,10 +246,11 @@ def build_fast_tables(t: GrammarTables):
     masks = np.zeros((2, N_SID, V), dtype=bool)
     for nw in (0, 1):
         for sid in range(N_SID):
-            is_start = jnp.asarray([sid >= 5])
-            span_type = jnp.asarray([max(sid - 5, 0)], jnp.int32)
+            is_start = np.asarray([sid >= 5])
+            span_type = np.asarray([max(sid - 5, 0)], np.int32)
             row = allowed_mask(
-                t, state_for_sid(sid), is_start, span_type, jnp.asarray([nw == 1])
+                t, state_for_sid(sid), is_start, span_type,
+                np.asarray([nw == 1]), xp=np,
             )
             masks[nw, sid] = np.asarray(row)[0]
 
@@ -254,22 +272,22 @@ def build_fast_tables(t: GrammarTables):
             sid_from_bits[bits] = 1
 
     next_bits = np.zeros((16, V), np.int32)
-    idx = jnp.arange(V, dtype=jnp.int32)
+    idx = np.arange(V, dtype=np.int32)
     for bits in range(16):
         st = GrammarState(
-            jnp.full((V,), bool(bits & 8)),
-            jnp.full((V,), bool(bits & 4)),
-            jnp.full((V,), bool(bits & 2)),
-            jnp.full((V,), bool(bits & 1)),
+            np.full((V,), bool(bits & 8)),
+            np.full((V,), bool(bits & 4)),
+            np.full((V,), bool(bits & 2)),
+            np.full((V,), bool(bits & 1)),
         )
-        ns = update_flags(t, st, idx)
+        ns = update_flags(t, st, idx, xp=np)
         next_bits[bits] = (
             np.asarray(ns.in_sep).astype(np.int32) * 8
             + np.asarray(ns.in_continue) * 4
             + np.asarray(ns.in_pitch) * 2
             + np.asarray(ns.in_rest)
         )
-    return jnp.asarray(masks), jnp.asarray(sid_from_bits), jnp.asarray(next_bits)
+    return masks, sid_from_bits, next_bits
 
 
 def allowed_mask_fast(
@@ -281,41 +299,43 @@ def allowed_mask_fast(
     no_whole,  # scalar bool
     start_overrides: bool = False,  # True for REMI (mode 1) dispatch order
 ) -> jnp.ndarray:
-    flag_sid = sid_from_bits[bits]
+    flag_sid = jnp.asarray(sid_from_bits)[bits]
     start_sid = 5 + span_type
     if start_overrides:
         sid = jnp.where(is_start, start_sid, flag_sid)
     else:
         sid = jnp.where(bits > 0, flag_sid, jnp.where(is_start, start_sid, 0))
     nw = jnp.asarray(no_whole, jnp.int32)
-    return state_masks[nw, sid]  # (B, V)
+    return jnp.asarray(state_masks)[nw, sid]  # (B, V)
 
 
 def update_bits(next_bits: jnp.ndarray, bits: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     V = next_bits.shape[1]
-    return jnp.take(next_bits.reshape(-1), bits * V + idx)
+    return jnp.take(jnp.asarray(next_bits).reshape(-1), bits * V + idx)
 
 
-def update_flags(t: GrammarTables, state: GrammarState, idx: jnp.ndarray) -> GrammarState:
+def update_flags(
+    t: GrammarTables, state: GrammarState, idx: jnp.ndarray, xp=jnp
+) -> GrammarState:
     """Transition on the sampled token (reference ``generation.py:654-671``;
     mode-1 transitions per ``evaluation.py:1150-1213``)."""
-    is_pitch = t.pitch[idx]
-    is_dur = t.duration_only[idx]
+    is_pitch = xp.asarray(t.pitch)[idx]
+    is_dur = xp.asarray(t.duration_only)[idx]
     if t.mode == 1:
-        is_step = t.step[idx]
-        false = jnp.zeros_like(is_pitch)
+        is_step = xp.asarray(t.step)[idx]
+        false = xp.zeros_like(is_pitch)
         return GrammarState(
             in_sep=false,
-            in_continue=jnp.where(is_step, True, jnp.where(is_pitch | is_dur, False, state.in_continue)),
-            in_pitch=jnp.where(is_pitch, True, jnp.where(is_step | is_dur, False, state.in_pitch)),
+            in_continue=xp.where(is_step, True, xp.where(is_pitch | is_dur, False, state.in_continue)),
+            in_pitch=xp.where(is_pitch, True, xp.where(is_step | is_dur, False, state.in_pitch)),
             in_rest=false,
         )
     is_cont = idx == t.continue_index
-    is_sep = t.sep[idx]
-    is_rest = t.rest[idx]
+    is_sep = xp.asarray(t.sep)[idx]
+    is_rest = xp.asarray(t.rest)[idx]
     return GrammarState(
-        in_sep=jnp.where(is_sep, True, jnp.where(is_cont | is_pitch, False, state.in_sep)),
-        in_continue=jnp.where(is_cont, True, jnp.where(is_pitch, False, state.in_continue)),
-        in_pitch=jnp.where(is_pitch, True, jnp.where(is_dur, False, state.in_pitch)),
-        in_rest=jnp.where(is_rest, True, jnp.where(is_dur, False, state.in_rest)),
+        in_sep=xp.where(is_sep, True, xp.where(is_cont | is_pitch, False, state.in_sep)),
+        in_continue=xp.where(is_cont, True, xp.where(is_pitch, False, state.in_continue)),
+        in_pitch=xp.where(is_pitch, True, xp.where(is_dur, False, state.in_pitch)),
+        in_rest=xp.where(is_rest, True, xp.where(is_dur, False, state.in_rest)),
     )
