@@ -84,6 +84,109 @@ def _require_device(timeout_s=None):
     return backend
 
 
+_TRANSIENT_MARKERS = (
+    "FAILED_PRECONDITION",
+    "FailedPrecondition",
+    "UNAVAILABLE",
+    "ABORTED",
+    "DEADLINE_EXCEEDED",
+)
+
+
+def _quiesce_backend(reason):
+    """Drop cached backend state and wait out transient chip trouble.
+
+    The round-4 driver bench died once on a TPU ``FailedPrecondition``
+    left behind by an earlier process; the identical command passed 20
+    minutes later.  A retry after clearing jax's backend cache converts
+    that class of failure from a lost round into a logged hiccup."""
+    import jax
+
+    print(json.dumps({"warning": f"transient device error, retrying: {reason[:300]}"}),
+          file=sys.stderr, flush=True)
+    time.sleep(15)
+    clear = getattr(jax, "clear_backends", None) or getattr(
+        getattr(getattr(jax, "extend", None), "backend", None), "clear_backends", None
+    )
+    if clear is not None:
+        try:
+            clear()
+        except Exception:
+            pass
+
+
+def _spread_pct(res):
+    """Best/worst spread of a leg result dict, in percent (None if n/a)."""
+    if not isinstance(res, dict):
+        return None
+    if "rep_spread_pct" in res:
+        return float(res["rep_spread_pct"])
+    for k in res:
+        if k.endswith("_best"):
+            worst = res.get(k[:-5] + "_worst")
+            if worst:
+                return 100.0 * (float(res[k]) / float(worst) - 1.0)
+    return None
+
+
+def run_leg(name, fn, max_spread_pct=50.0):
+    """Run one bench leg with one retry on transient device-state errors
+    and one re-run when rep spread exceeds the gate (a >50% spread means
+    the chip was contended during capture — BENCH_r04's train_step leg
+    recorded 652% under the builder's own background runs; such numbers
+    must not enter the record unchallenged)."""
+    res = None
+    for attempt in range(2):
+        try:
+            res = fn()
+            break
+        except Exception as e:
+            msg = f"{type(e).__name__}: {e}"
+            if attempt == 0 and any(s in msg for s in _TRANSIENT_MARKERS):
+                _quiesce_backend(msg)
+                continue
+            raise
+    sp = _spread_pct(res)
+    if sp is not None and sp > max_spread_pct:
+        print(json.dumps({"warning": f"{name}: rep spread {sp:.0f}% > "
+                          f"{max_spread_pct:.0f}% gate, re-running leg"}),
+              file=sys.stderr, flush=True)
+        res2 = fn()
+        sp2 = _spread_pct(res2)
+        if sp2 is not None and sp2 < sp:
+            res2["spread_rerun"] = {"kept": "rerun", "first_spread_pct": round(sp, 1)}
+            return res2
+        res["spread_rerun"] = {"kept": "first", "rerun_spread_pct": round(sp2 or -1, 1)}
+    return res
+
+
+def _contending_processes():
+    """Other live processes that could be holding/contending the chip.
+
+    The r4 crash and the 652% train-step spread were both residue of
+    builder background runs; the driver-facing headline now carries an
+    explicit flag when the capture environment is dirty."""
+    import glob
+
+    me = os.getpid()
+    hits = []
+    for p in glob.glob("/proc/[0-9]*/cmdline"):
+        try:
+            pid = int(p.split("/")[2])
+            if pid == me:
+                continue
+            with open(p, "rb") as f:
+                cmd = f.read().replace(b"\x00", b" ").decode(errors="replace").strip()
+        except (OSError, ValueError):
+            continue
+        if "python" not in cmd:
+            continue
+        if any(s in cmd for s in ("smer_music_generation_tpu", "bench.py",
+                                  "microbench", "eval_cli")):
+            hits.append(f"{pid}: {cmd[:160]}")
+    return hits
+
+
 def build_flagship():
     import jax
     import jax.numpy as jnp
@@ -136,7 +239,8 @@ def load_flagship_checkpoint(model, params):
     return trained
 
 
-def bench_single(vocab, model, params, quant="none", draft_k=0, greedy=False):
+def bench_single(vocab, model, params, quant="none", draft_k=0, greedy=False,
+                 repairs=False):
     import jax
     import jax.numpy as jnp
 
@@ -144,10 +248,12 @@ def bench_single(vocab, model, params, quant="none", draft_k=0, greedy=False):
 
     events = serving_events(vocab)
     # random weights rarely close bars, so the duration-repair retry loop
-    # would always exhaust; disable it to measure the single-decode path
+    # would always exhaust; disable it to measure the single-decode path.
+    # ``repairs=True`` (the trained-weights leg) keeps the engine default
+    # so the recorded latency includes real time-repair re-decodes.
     engine = InfillEngine(model, params, vocab, nucleus_p=0.9, max_tgt_len=1024,
-                          max_time_fix_attempts=0, quant=quant,
-                          draft_k=draft_k, greedy=greedy)
+                          max_time_fix_attempts=10 if repairs else 0,
+                          quant=quant, draft_k=draft_k, greedy=greedy)
     bars = list(range(8))
     engine(events, [0], bars, jax.random.PRNGKey(1))  # warmup/compile
 
@@ -261,30 +367,35 @@ def bench_train_step(vocab, model, params, batch_size=8, src_len=640,
 
     prev_impl = jax.config.jax_default_prng_impl
     jax.config.update("jax_default_prng_impl", "unsafe_rbg")
-    tables = build_loss_tables(vocab)
-    state = TrainState.create(params, lr=1e-4)
-    step = jax.jit(make_train_step(model, tables, dropout=True))
-    rng = jax.random.PRNGKey(0)
-    batch = {
-        "input": jnp.ones((batch_size, src_len), jnp.int32),
-        "target_in": jnp.ones((batch_size, tgt_len), jnp.int32),
-        "target_out": jnp.ones((batch_size, tgt_len), jnp.int32),
-        "input_pad_mask": jnp.zeros((batch_size, src_len), bool),
-        "target_pad_mask": jnp.zeros((batch_size, tgt_len), bool),
-    }
-    state, metrics = step(state, batch, jnp.float32(0.8), rng)
-    jax.device_get(metrics["loss"])  # block_until_ready lies over the tunnel
-    # best-of-reps: the tunnel adds multi-ms jitter per fetch; the min over
-    # interleaved rep windows is the honest device rate (VERDICT r2 weak #4)
-    n, dts = 16, []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        for _ in range(n):
-            state, metrics = step(state, batch, jnp.float32(0.8), rng)
-        jax.device_get(metrics["loss"])
-        dts.append(time.perf_counter() - t0)
-    dt = min(dts)
-    jax.config.update("jax_default_prng_impl", prev_impl)
+    try:
+        tables = build_loss_tables(vocab)
+        state = TrainState.create(params, lr=1e-4)
+        step = jax.jit(make_train_step(model, tables, dropout=True))
+        rng = jax.random.PRNGKey(0)
+        batch = {
+            "input": jnp.ones((batch_size, src_len), jnp.int32),
+            "target_in": jnp.ones((batch_size, tgt_len), jnp.int32),
+            "target_out": jnp.ones((batch_size, tgt_len), jnp.int32),
+            "input_pad_mask": jnp.zeros((batch_size, src_len), bool),
+            "target_pad_mask": jnp.zeros((batch_size, tgt_len), bool),
+        }
+        state, metrics = step(state, batch, jnp.float32(0.8), rng)
+        jax.device_get(metrics["loss"])  # block_until_ready lies over the tunnel
+        # best-of-reps: the tunnel adds multi-ms jitter per fetch; the min
+        # over interleaved rep windows is the honest device rate (VERDICT
+        # r2 weak #4)
+        n, dts = 16, []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                state, metrics = step(state, batch, jnp.float32(0.8), rng)
+            jax.device_get(metrics["loss"])
+            dts.append(time.perf_counter() - t0)
+        dt = min(dts)
+    finally:
+        # an exception mid-leg must not leave the global PRNG impl flipped
+        # for the remaining --all legs (ADVICE r4)
+        jax.config.update("jax_default_prng_impl", prev_impl)
     toks = batch_size * (src_len + tgt_len)
     # analytic matmul FLOPs (fwd + 2x bwd) vs v5e bf16 peak
     B, S, T, d, ff, V = batch_size, src_len, tgt_len, 512, 2048, vocab.vocab_size
@@ -329,6 +440,25 @@ def bench_train_corpus_slice(vocab, model, params, n_batches=120,
         return {"skipped": "corpus/data not present"}
     prev_impl = jax.config.jax_default_prng_impl
     jax.config.update("jax_default_prng_impl", "unsafe_rbg")
+    try:
+        return _bench_train_corpus_slice_body(
+            vocab, model, params, n_batches, binned, gated, seed
+        )
+    finally:
+        jax.config.update("jax_default_prng_impl", prev_impl)
+
+
+def _bench_train_corpus_slice_body(vocab, model, params, n_batches,
+                                   binned, gated, seed):
+    import jax
+    import jax.numpy as jnp
+
+    from smer_music_generation_tpu.data.loader import BatchLoader, LoaderConfig
+    from smer_music_generation_tpu.data.masking import MaskingConfig
+    from smer_music_generation_tpu.data.pack import load_batches
+    from smer_music_generation_tpu.train.loss import build_loss_tables
+    from smer_music_generation_tpu.train.state import TrainState, make_train_step
+
     tables = build_loss_tables(vocab)
     state = TrainState.create(params, lr=1e-4)
     step = jax.jit(make_train_step(model, tables, dropout=True,
@@ -364,7 +494,6 @@ def bench_train_corpus_slice(vocab, model, params, n_batches=120,
         state, m = step(state, b, jnp.float32(1.0), rng)
     jax.device_get(m["loss"])
     dt = time.perf_counter() - t0
-    jax.config.update("jax_default_prng_impl", prev_impl)
     return {
         "mode": ("binned" if binned else "plain") + ("+gated" if gated else ""),
         "n_batches": len(batches),
@@ -515,53 +644,67 @@ def main():
     args = parser.parse_args()
 
     _enable_compile_cache()
+    contention = _contending_processes()
+    if contention:
+        print(json.dumps({"warning": "other framework processes are live "
+                          "during capture", "processes": contention}),
+              file=sys.stderr, flush=True)
     # CPU-bound build benchmark first: it measures the native tokenizer,
     # not leftover host contention from the device benchmarks
-    build = bench_dataset_build() if args.all else None
+    build = run_leg("dataset_build", bench_dataset_build) if args.all else None
     _require_device()
     vocab, model, params = build_flagship()
-    headline = bench_single(vocab, model, params, quant=args.quant)
+    headline = run_leg(
+        "single", lambda: bench_single(vocab, model, params, quant=args.quant)
+    )
 
     if args.all:
         details = {
             "single": headline,
-            "batched_16": bench_batched(vocab, model, params, batch=16,
-                                        quant=args.quant),
+            "batched_16": run_leg("batched_16", lambda: bench_batched(
+                vocab, model, params, batch=16, quant=args.quant)),
             # BASELINE configs[4] names batch 64: 8 pipelined groups of 8
-            "batched_64": bench_batched(vocab, model, params, batch=64,
-                                        quant=args.quant),
+            "batched_64": run_leg("batched_64", lambda: bench_batched(
+                vocab, model, params, batch=64, quant=args.quant)),
             # BASELINE configs[2]: tension-controlled generation
-            "tension_controlled": bench_tension_controlled(
-                vocab, model, params, quant=args.quant
-            ),
+            "tension_controlled": run_leg("tension", lambda:
+                bench_tension_controlled(vocab, model, params,
+                                         quant=args.quant)),
         }
         # speculative-decode A/B with TRAINED weights (prompt-lookup
         # acceptance is a property of real model output, not random init)
         trained = load_flagship_checkpoint(model, params)
         if trained is not None:
+            # the trained-weights headline adjunct (VERDICT r4 #8): real
+            # serving distribution of session lengths, time repair ON
+            details["single_trained"] = run_leg(
+                "single_trained", lambda: bench_single(
+                    vocab, model, trained, repairs=True))
             details |= {
-                "spec_base_nucleus": bench_single(vocab, model, trained),
-                "spec_k8_nucleus": bench_single(vocab, model, trained,
-                                                draft_k=8),
-                "spec_base_greedy": bench_single(vocab, model, trained,
-                                                 greedy=True),
-                "spec_k8_greedy": bench_single(vocab, model, trained,
-                                               draft_k=8, greedy=True),
+                "spec_base_nucleus": run_leg("spec_base_nucleus", lambda:
+                    bench_single(vocab, model, trained)),
+                "spec_k8_nucleus": run_leg("spec_k8_nucleus", lambda:
+                    bench_single(vocab, model, trained, draft_k=8)),
+                "spec_base_greedy": run_leg("spec_base_greedy", lambda:
+                    bench_single(vocab, model, trained, greedy=True)),
+                "spec_k8_greedy": run_leg("spec_k8_greedy", lambda:
+                    bench_single(vocab, model, trained, draft_k=8,
+                                 greedy=True)),
             }
         details |= {
-            "train_step": bench_train_step(vocab, model, params),
+            "train_step": run_leg("train_step", lambda:
+                bench_train_step(vocab, model, params)),
             "dataset_build": build,
             # Finding 8 A/B: real-corpus epoch-slice throughput under the
             # plain vs shape-binned loader (+ gated metrics)
-            "train_corpus_plain": bench_train_corpus_slice(
-                vocab, model, params
-            ),
-            "train_corpus_binned": bench_train_corpus_slice(
-                vocab, model, params, binned=True
-            ),
-            "train_corpus_binned_gated": bench_train_corpus_slice(
-                vocab, model, params, binned=True, gated=True
-            ),
+            "train_corpus_plain": run_leg("train_corpus_plain", lambda:
+                bench_train_corpus_slice(vocab, model, params)),
+            "train_corpus_binned": run_leg("train_corpus_binned", lambda:
+                bench_train_corpus_slice(vocab, model, params, binned=True)),
+            "train_corpus_binned_gated": run_leg(
+                "train_corpus_binned_gated", lambda:
+                bench_train_corpus_slice(vocab, model, params, binned=True,
+                                         gated=True)),
         }
         # A/B the pallas fused training attention (Finding 7) at both
         # campaign shapes, same session
@@ -573,21 +716,25 @@ def main():
         if _jax.default_backend() == "tpu":
             fused_model = _bm(vocab.vocab_size, dtype=_jnp.bfloat16,
                               fused_attn_train=True)
-            details["train_step_fused_attn"] = bench_train_step(
-                vocab, fused_model, params
-            )
-            details["train_step_16"] = bench_train_step(
-                vocab, model, params, batch_size=16
-            )
-            details["train_step_fused_attn_16"] = bench_train_step(
-                vocab, fused_model, params, batch_size=16
-            )
+            details["train_step_fused_attn"] = run_leg(
+                "train_step_fused_attn", lambda:
+                bench_train_step(vocab, fused_model, params))
+            details["train_step_16"] = run_leg("train_step_16", lambda:
+                bench_train_step(vocab, model, params, batch_size=16))
+            details["train_step_fused_attn_16"] = run_leg(
+                "train_step_fused_attn_16", lambda:
+                bench_train_step(vocab, fused_model, params, batch_size=16))
+        if contention:
+            details["chip_contention"] = contention
         with open("BENCH_DETAILS.json", "w") as f:
             json.dump(details, f, indent=2)
         headline = dict(headline)
         headline["batched_tokens_per_sec"] = details["batched_16"]["batched_tokens_per_sec"]
         headline["build_files_per_sec"] = details["dataset_build"]["files_per_sec"]
 
+    if contention:
+        headline = dict(headline)
+        headline["chip_contention"] = len(contention)
     print(json.dumps(headline))
 
 

@@ -128,6 +128,15 @@ class BatchLoader:
         self.rng = np.random.default_rng(seed + 1)
 
     def __len__(self) -> int:
+        if self.cfg.bin_rows:
+            # binned epochs emit a data-dependent batch count (rows pool
+            # across groups into shape bins); a fixed formula would lie to
+            # progress bars/schedulers (ADVICE r4) — count a dry epoch
+            raise TypeError(
+                "len() is undefined for a shape-binned loader: the batch "
+                "count depends on the masked shapes drawn this epoch; "
+                "iterate (or count one epoch) instead"
+            )
         return int(np.ceil(len(self.batches) / self.cfg.batch_size))
 
     def _mask_group(self, j: int):

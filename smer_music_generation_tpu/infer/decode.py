@@ -431,9 +431,11 @@ class InfillDecoder:
         chain).  Nucleus sampling is distribution-identical via
         delta-draft speculative sampling; each absolute position consumes
         its own pre-generated noise row exactly once, so no draw is ever
-        reused across retries.  Sessions stop ``K`` positions before the
-        buffer cap (the verify window must fit) — immaterial at
-        ``max_tgt_len`` 1024, where real streams end far earlier.
+        reused across retries.  The windowed loop stops ``K`` positions
+        before the buffer cap (the verify window must fit); a
+        single-token tail loop then decodes the remaining < K+1
+        positions, so cap-hitting sessions fill the buffer exactly like
+        the baseline decoder (ADVICE r4).
         """
         model, t = self.model, self.tables
         L = self.max_tgt_len
@@ -648,8 +650,52 @@ class InfillDecoder:
             jnp.int32(0), n_spans[0] <= 0, out, cache, jnp.int32(0),
             jnp.int32(1), jnp.int32(0), jnp.int32(1),
         )
+        carry = jax.lax.while_loop(cond, body, carry)
+
+        # ---- single-token tail: the windowed cond leaves up to K
+        # positions before the cap undecoded; finish them one at a time
+        # (a W=1 verify is exactly a cached decode step) so a cap-hitting
+        # session matches the baseline's buffer fill (ADVICE r4)
+        def tail_cond(carry):
+            pos, done, *_ = carry
+            return (pos + 1 < L) & ~done
+
+        def tail_body(carry):
+            pos, done, out, cache, state, steps, span, lengths = carry
+            logits1, cache = verify(out[0, pos][None], pos, cache)  # (1, V)
+            cur_type = span_types[0, jnp.minimum(span, self.max_spans - 1)]
+            allowed = allowed_mask_fast(
+                state_masks, sid_from_bits, state[None], (steps == 1)[None],
+                cur_type[None], no_whole, start_overrides=(t.mode == 1),
+            )
+            if self.greedy:
+                sampled = greedy_sample(logits1, allowed)[0]
+            else:
+                g = jax.lax.dynamic_slice(noise, (pos, 0), (1, V))
+                sampled = masked_sample_gumbel(
+                    g, logits1, allowed, self.nucleus_p, self.temperature
+                )[0]
+            control_done = (cur_type != SPAN_BODY) & (steps >= 2)
+            end_span = (
+                (sampled == t.eos_index)
+                | (steps >= self.span_cap)
+                | control_done
+            )
+            new_span = jnp.where(end_span, span + 1, span)
+            now_done = new_span >= n_spans[0]
+            next_tok = jnp.where(end_span, t.mask_index, sampled)
+            next_tok = jnp.where(now_done, 0, next_tok)
+            out = out.at[0, pos + 1].set(next_tok)
+            lengths = jnp.where(next_tok != 0, pos + 2, lengths)
+            new_state = jnp.where(
+                end_span, 0, update_bits(next_bits, state[None], sampled[None])[0]
+            )
+            new_steps = jnp.where(end_span, 1, steps + 1)
+            return (pos + 1, done | now_done, out, cache, new_state,
+                    new_steps, new_span, lengths)
+
         pos, done, out, cache, state, steps, span, lengths = (
-            jax.lax.while_loop(cond, body, carry)
+            jax.lax.while_loop(tail_cond, tail_body, carry)
         )
         return DecodeResult(
             tokens=out, lengths=lengths[None], steps=pos

@@ -27,29 +27,16 @@ def masked_sample(
     p: Optional[float] = None,
     temperature: float = 1.0,
 ) -> jnp.ndarray:
-    """Sample one token id per row under the mask; (B,) int32."""
-    masked = jnp.where(allowed, logits, NEG_INF) / temperature
-    if p is None:
-        return jax.random.categorical(rng, masked, axis=-1).astype(jnp.int32)
+    """Sample one token id per row under the mask; (B,) int32.
 
-    probs = jax.nn.softmax(masked, axis=-1)
-    # Sort-free nucleus: a token is kept iff the total mass STRICTLY above
-    # its probability is < p — identical to "exclusive sorted-prefix < p"
-    # for distinct probabilities (ties: all co-tied tokens at the boundary
-    # are kept together, the measure-zero difference from an arbitrary sort
-    # order).  Replaces the per-step argsort (decode hot path: the bitonic
-    # sort was ~1/3 of the per-token budget on v5e).
-    above = jnp.sum(
-        probs[:, None, :] * (probs[:, None, :] > probs[:, :, None]), axis=-1
-    )
-    keep = above < p
-    filtered = jnp.where(keep, probs, 0.0)
-    # hard -inf for zeroed tokens: banned/out-of-nucleus mass must be
-    # EXACTLY 0 (log(eps) would leave ~1e-12 sampleable probability,
-    # breaking distribution-identity with masked_sample_gumbel)
-    logp = jnp.where(filtered > 0, jnp.log(jnp.maximum(filtered, 1e-38)), NEG_INF)
-    choice = jax.random.categorical(rng, logp, axis=-1)
-    return choice.astype(jnp.int32)
+    One implementation of the mask + nucleus filter exists
+    (:func:`nucleus_log_probs`); ``categorical`` over those unnormalized
+    log-probs is exactly the renormalized filtered distribution, and is
+    distribution-identical to :func:`masked_sample_gumbel` by the Gumbel
+    trick (ADVICE r4: the filter was previously triplicated by hand).
+    """
+    logp = nucleus_log_probs(logits, allowed, p, temperature)
+    return jax.random.categorical(rng, logp, axis=-1).astype(jnp.int32)
 
 
 def greedy_sample(logits: jnp.ndarray, allowed: jnp.ndarray) -> jnp.ndarray:
@@ -70,6 +57,14 @@ def nucleus_log_probs(
     masked = jnp.where(allowed, logits, NEG_INF) / temperature
     logp = jax.nn.log_softmax(masked, axis=-1)
     if p is not None:
+        # Sort-free nucleus: a token is kept iff the total mass STRICTLY
+        # above its probability is < p — identical to "exclusive
+        # sorted-prefix < p" for distinct probabilities (ties: all co-tied
+        # tokens at the boundary are kept together, the measure-zero
+        # difference from an arbitrary sort order).  Replaces the per-step
+        # argsort (the bitonic sort was ~1/3 of the per-token budget on
+        # v5e).  Dropped tokens go to hard NEG_INF: out-of-nucleus mass
+        # must be EXACTLY 0 for distribution-identity across the samplers.
         probs = jnp.exp(logp)
         above = jnp.sum(
             probs[:, None, :] * (probs[:, None, :] > probs[:, :, None]), axis=-1
@@ -130,12 +125,10 @@ def masked_sample_gumbel(
     ~20-op serial threefry chain that alone costs ~53 us/token on v5e;
     pregenerating all noise for the session in one parallel op removes it
     from the loop's critical path entirely."""
-    masked = jnp.where(allowed, logits, NEG_INF) / temperature
-    logp = jax.nn.log_softmax(masked, axis=-1)
-    if p is not None:
-        probs = jnp.exp(logp)
-        above = jnp.sum(
-            probs[:, None, :] * (probs[:, None, :] > probs[:, :, None]), axis=-1
-        )
-        logp = jnp.where(above < p, logp, NEG_INF)
-    return jnp.argmax(logp + gumbel, axis=-1).astype(jnp.int32)
+    # by construction on nucleus_log_probs: the equivalence
+    # ``masked_sample_gumbel == argmax(nucleus_log_probs + gumbel)`` that
+    # the speculative-decode proof relies on cannot drift out of sync
+    # (ADVICE r4: the filter was previously triplicated by hand)
+    return jnp.argmax(
+        nucleus_log_probs(logits, allowed, p, temperature) + gumbel, axis=-1
+    ).astype(jnp.int32)

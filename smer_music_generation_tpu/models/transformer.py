@@ -697,12 +697,13 @@ class ScoreTransformer(nn.Module):
         K/V for positions [0, index]; attention masks positions > index.
         """
         B = token.shape[0]
-        x = self.embed(token[:, None], offset=0)  # PE added below via index
-        # correct position encoding: subtract pos[0], add pos[index]
-        pe = jax.lax.dynamic_slice_in_dim(self.pos_table, 0, 1, axis=0)
-        x = x - pe.astype(x.dtype)
+        # raw embedding + the absolute-position PE row in ONE add — the
+        # exact computation of the full forward's embed() (and of the
+        # fused kernel); the previous (emb + pe[0]) - pe[0] + pe[index]
+        # could differ from it by a compute-dtype rounding (ADVICE r4)
+        x = self.embedding(token[:, None]) * math.sqrt(self.cfg.d_model)
         pe_i = jax.lax.dynamic_index_in_dim(self.pos_table, index, axis=0, keepdims=True)
-        x = x + pe_i.astype(x.dtype)
+        x = (x + pe_i.astype(x.dtype)).astype(self.cfg.dtype)
 
         max_len = next(iter(self_cache.values()))[0].shape[1]
         positions = jnp.arange(max_len)[None, None, None, :]
@@ -746,11 +747,13 @@ class ScoreTransformer(nn.Module):
         exclude until they are overwritten.
         """
         W = tokens.shape[1]
-        x = self.embed(tokens, offset=0)
-        pe0 = jax.lax.dynamic_slice_in_dim(self.pos_table, 0, W, axis=0)
-        x = x - pe0.astype(x.dtype)
+        # raw embedding + absolute PE rows in one add (see decode_step):
+        # bit-identical to W sequential steps AND to the full forward's
+        # embed() at these positions (ADVICE r4: the subtract-re-add form
+        # could flip near-tie argmaxes in compute dtype)
+        x = self.embedding(tokens) * math.sqrt(self.cfg.d_model)
         pe = jax.lax.dynamic_slice_in_dim(self.pos_table, index, W, axis=0)
-        x = x + pe.astype(x.dtype)
+        x = (x + pe.astype(x.dtype)).astype(self.cfg.dtype)
 
         max_len = next(iter(self_cache.values()))[0].shape[1]
         positions = jnp.arange(max_len)[None, None, None, :]

@@ -3,13 +3,18 @@
 The reference has no distributed runtime at all (SURVEY.md §2.5); the
 capability-equivalent TPU scale-out is:
 
-* a ``jax.sharding.Mesh`` over ICI with axes ``("dp", "tp")``;
+* a ``jax.sharding.Mesh`` over ICI with axes ``("dp", "tp")``, optionally
+  extended with a leading ``"dcn"`` axis for multi-slice pods (data
+  parallelism split hierarchically over (DCN, ICI) — SURVEY §2.5's
+  "DCN axis for multi-slice");
 * data parallelism as the load-bearing strategy (the flagship model is
-  4+4 layers x d512 — far under one chip's HBM): batch sharded on ``dp``,
-  params replicated, XLA inserts the gradient ``psum`` over ICI;
+  4+4 layers x d512 — far under one chip's HBM): batch sharded on ``dp``
+  (and ``dcn`` when present), params replicated, XLA inserts the gradient
+  ``psum`` over ICI within a slice and DCN across slices;
 * an optional tensor-parallel rule set for the FFN / attention projections
   and the (vocab, d) embedding/logit matrices, demonstrating Megatron-style
-  column/row sharding under pjit for scale-up variants.
+  column/row sharding under pjit for scale-up variants.  TP never crosses
+  the DCN boundary (it stays an intra-slice ICI axis).
 
 Ring-attention / sequence parallelism is intentionally out of scope: the
 reference's max sequence is 2400 tokens (SURVEY.md §5.7).
@@ -23,6 +28,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+DCN_AXIS = "dcn"
 DP_AXIS = "dp"
 TP_AXIS = "tp"
 
@@ -31,20 +37,50 @@ def make_mesh(
     n_devices: Optional[int] = None,
     tp: int = 1,
     devices: Optional[Sequence] = None,
+    dcn_slices: int = 1,
 ) -> Mesh:
-    """Build a ("dp", "tp") mesh over the first ``n_devices`` devices."""
+    """Build a ("dp", "tp") mesh over the first ``n_devices`` devices.
+
+    ``dcn_slices > 1`` prepends a ``"dcn"`` mesh axis of that size (mesh
+    axes become ``("dcn", "dp", "tp")``): per-slice dp stays on ICI while
+    the cross-slice gradient reduction rides DCN.  On real multi-slice
+    hardware the device list is grouped slice-major (jax orders devices
+    by (process, slice)); ``jax.experimental.mesh_utils``'s hybrid mesh
+    helper is used when the runtime exposes slice topology, with a plain
+    slice-major reshape as the single-process (and virtual-device test)
+    fallback.  Sharding RULES are unchanged — params replicate over dcn,
+    batches shard over (dcn, dp) via :func:`batch_sharding`.
+    """
     if devices is None:
         devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
-    devices = np.array(devices[:n_devices])
-    if n_devices % tp != 0:
-        raise ValueError(f"{n_devices} devices not divisible by tp={tp}")
-    return Mesh(devices.reshape(n_devices // tp, tp), (DP_AXIS, TP_AXIS))
+    if n_devices % (tp * dcn_slices) != 0:
+        raise ValueError(
+            f"{n_devices} devices not divisible by tp={tp} x dcn_slices={dcn_slices}"
+        )
+    dev = list(devices[:n_devices])
+    dp = n_devices // (tp * dcn_slices)
+    if dcn_slices == 1:
+        return Mesh(np.array(dev).reshape(dp, tp), (DP_AXIS, TP_AXIS))
+    if len({getattr(d, "slice_index", 0) for d in dev}) == dcn_slices:
+        # real multi-slice runtime: let mesh_utils place the DCN axis on
+        # the actual slice boundaries
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (dp, tp), (dcn_slices, 1), devices=dev
+        )
+        return Mesh(arr.reshape(dcn_slices, dp, tp), (DCN_AXIS, DP_AXIS, TP_AXIS))
+    return Mesh(
+        np.array(dev).reshape(dcn_slices, dp, tp), (DCN_AXIS, DP_AXIS, TP_AXIS)
+    )
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) axis over dp; replicate over tp."""
+    """Shard the leading (batch) axis over dp (x dcn); replicate over tp."""
+    if DCN_AXIS in mesh.shape:
+        return NamedSharding(mesh, P((DCN_AXIS, DP_AXIS)))
     return NamedSharding(mesh, P(DP_AXIS))
 
 

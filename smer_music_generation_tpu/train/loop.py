@@ -93,8 +93,12 @@ class Trainer:
             fused_attn_train=cfg.fused_attn_train,
         )
         self.tables = build_loss_tables(self.vocab)
-        self.mesh = make_mesh(cfg.n_devices or None, tp=cfg.tp)
-        self.dp = self.mesh.shape["dp"]
+        self.mesh = make_mesh(
+            cfg.n_devices or None, tp=cfg.tp, dcn_slices=cfg.dcn_slices
+        )
+        # total data-parallel width (batch rows pad to a multiple of it);
+        # with a dcn axis the batch shards over (dcn, dp) hierarchically
+        self.dp = self.mesh.shape["dp"] * self.mesh.shape.get("dcn", 1)
 
         rng = jax.random.PRNGKey(cfg.seed)
         src = jnp.ones((2, 16), dtype=jnp.int32)

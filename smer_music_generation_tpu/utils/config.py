@@ -81,6 +81,9 @@ class ExperimentConfig:
     is_test: bool = False
     n_devices: int = 0  # 0 = all
     tp: int = 1
+    # multi-slice data parallelism: split dp hierarchically over
+    # (DCN slices, ICI) — SURVEY §2.5.  1 = single slice (flat ICI mesh).
+    dcn_slices: int = 1
     bf16: bool = True
     # hardware-counter-based PRNG for dropout masks: measured 2x the full
     # train step vs threefry at the real packed shapes (36 -> 18 ms,
@@ -152,6 +155,10 @@ class ExperimentConfig:
         parser.add_argument("--remat", action="store_true")
         parser.add_argument("--batch_size", type=int, default=defaults.batch_size)
         parser.add_argument("--tp", type=int, default=defaults.tp)
+        parser.add_argument("--dcn_slices", type=int, default=defaults.dcn_slices,
+                            help="multi-slice dp: split the batch over "
+                            "(dcn, dp) with gradient reduction across "
+                            "slices on DCN")
         parser.add_argument("--no_bf16", action="store_true")
         parser.add_argument("--no_rbg_rng", action="store_true")
         parser.add_argument("--no_bf16_attn_residual", action="store_true")
@@ -192,6 +199,7 @@ class ExperimentConfig:
             remat=args.remat,
             batch_size=args.batch_size,
             tp=args.tp,
+            dcn_slices=args.dcn_slices,
             bf16=not args.no_bf16,
             rbg_rng=not args.no_rbg_rng,
             bf16_attn_residual=not args.no_bf16_attn_residual,
