@@ -34,6 +34,10 @@ def main(argv=None) -> int:
                         help="in-decode use_correct_control substitution "
                         "(reference evaluation.py:1217-1288)")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--kinds", type=str, default=None,
+                        help="comma-separated subset of control kinds to "
+                        "evaluate (e.g. 'tensile'); default: every kind "
+                        "the model was trained with")
     parser.add_argument("--max_time_fix_attempts", type=int, default=10,
                         help="per-group bar-duration regeneration budget "
                         "(reference evaluation.py:1300-1397); 0 = single "
@@ -91,6 +95,12 @@ def main(argv=None) -> int:
         k for k in ("tensile", "density", "occupation", "polyphony")
         if k in vocab.class_names
     ]
+    if args.kinds:
+        requested = [k.strip() for k in args.kinds.split(",") if k.strip()]
+        unknown = set(requested) - set(active_kinds)
+        if unknown:
+            parser.error(f"--kinds not evaluable for this model: {sorted(unknown)}")
+        active_kinds = [k for k in active_kinds if k in requested]
     results = evaluator.run(
         windows, control_kinds=active_kinds, seed=args.seed,
         max_windows=args.max_windows,

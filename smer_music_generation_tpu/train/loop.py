@@ -92,7 +92,13 @@ class Trainer:
             fused_attn_bwd=cfg.fused_attn_bwd,
             fused_attn_train=cfg.fused_attn_train,
         )
-        self.tables = build_loss_tables(self.vocab)
+        self.tables = build_loss_tables(
+            self.vocab,
+            head_scales=(
+                {"tensile": cfg.tensile_weight}
+                if cfg.tensile_weight != 1.0 else None
+            ),
+        )
         self.mesh = make_mesh(
             cfg.n_devices or None, tp=cfg.tp, dcn_slices=cfg.dcn_slices
         )

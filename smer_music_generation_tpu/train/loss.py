@@ -30,7 +30,9 @@ BASE_HEADS = ("meta", "structure", "time_signature", "tempo", "program", "pitch"
 CONTROL_HEAD_ORDER = ("key", "tensile", "density", "polyphony", "occupation")
 
 
-def build_loss_tables(vocab: WordVocab) -> Dict[str, np.ndarray]:
+def build_loss_tables(
+    vocab: WordVocab, head_scales: Dict[str, float] | None = None
+) -> Dict[str, np.ndarray]:
     """Precompute the (H, V) head-weight matrix and helpers.
 
     * ``head_weights[h, v]`` = 1 where vocab index v belongs to head h
@@ -38,6 +40,10 @@ def build_loss_tables(vocab: WordVocab) -> Dict[str, np.ndarray]:
     * ``ce_all`` = 1 everywhere except 0 at pad/mask/unk (eos slot patched
       at runtime with the eos weight, reference ``train.py:565-575``);
     * ``class_ids`` = token-class id per vocab index for accuracy grouping.
+
+    ``head_scales``: optional per-head loss multipliers (e.g.
+    ``{"tensile": 3.0}``) — the recipe lever for steering experiments;
+    the reference's per-head criteria all weigh 1 (``train.py:555-642``).
     """
     V = vocab.vocab_size
     heads: List[str] = list(BASE_HEADS) + [
@@ -58,6 +64,13 @@ def build_loss_tables(vocab: WordVocab) -> Dict[str, np.ndarray]:
         if name in vocab.control_indices:
             idxs = vocab.control_indices[name]
             head_weights[head_index[name], idxs[0] : idxs[-1] + 1] = 1.0
+
+    if head_scales:
+        unknown = set(head_scales) - set(heads)
+        if unknown:
+            raise ValueError(f"head_scales for absent heads: {sorted(unknown)}")
+        for name, scale in head_scales.items():
+            head_weights[head_index[name]] *= float(scale)
 
     ce_all = np.ones(V, dtype=np.float32)
     ce_all[vocab.pad_index] = 0.0

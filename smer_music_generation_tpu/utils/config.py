@@ -70,6 +70,9 @@ class ExperimentConfig:
     eos_weight: float = 0.8
     total_mask_ratio: float = 0.15
     seed: int = 99
+    # tensile loss-head multiplier (steering-recipe lever, VERDICT r4 #7;
+    # 1.0 = reference parity — every reference head weighs 1)
+    tensile_weight: float = 1.0
 
     # runtime
     checkpoint_dir: str = "checkpoints"
@@ -177,6 +180,10 @@ class ExperimentConfig:
         parser.add_argument("--gated_metrics", action="store_true",
                             help="per-class accuracy/module norms on "
                             "logged steps only")
+        parser.add_argument("--tensile_weight", type=float,
+                            default=defaults.tensile_weight,
+                            help="tensile loss-head multiplier "
+                            "(steering-recipe experiments)")
         args = parser.parse_args(argv)
         cfg = cls(
             vocab_mode=args.vocab_mode,
@@ -211,5 +218,6 @@ class ExperimentConfig:
             binned_batching=args.binned,
             rows_per_batch=args.rows_per_batch,
             gated_metrics=args.gated_metrics,
+            tensile_weight=args.tensile_weight,
         )
         return cfg

@@ -439,3 +439,38 @@ def test_trainer_binned_gated_run(tmp_path, mock_groups):
     assert os.path.exists(os.path.join(cfg.output_dir, "metrics.jsonl"))
     latest = latest_checkpoint(os.path.join(cfg.output_dir, cfg.checkpoint_dir))
     assert latest is not None and latest.endswith("checkpoint_1")
+
+
+def test_tensile_head_scale():
+    """head_scales multiplies exactly the named head's loss (VERDICT r4 #7
+    recipe lever) and leaves every other head at reference parity."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from smer_music_generation_tpu.train.loss import build_loss_tables, multihead_ce
+    from smer_music_generation_tpu.vocab import CONTROL_SETS, WordVocab
+
+    vocab = WordVocab(0, CONTROL_SETS[5])
+    t1 = build_loss_tables(vocab)
+    t3 = build_loss_tables(vocab, head_scales={"tensile": 3.0})
+    i = t1["heads"].index("tensile")
+    np.testing.assert_allclose(
+        t3["head_weights"][i], 3.0 * t1["head_weights"][i]
+    )
+    other = [j for j in range(len(t1["heads"])) if j != i]
+    np.testing.assert_array_equal(
+        t3["head_weights"][other], t1["head_weights"][other]
+    )
+    with pytest.raises(ValueError):
+        build_loss_tables(vocab, head_scales={"not_a_head": 2.0})
+
+    rng = jax.random.PRNGKey(3)
+    logits = jax.random.normal(rng, (2, 16, vocab.vocab_size))
+    tgt = jax.random.randint(jax.random.PRNGKey(4), (2, 16), 1, vocab.vocab_size)
+    _, ph1 = multihead_ce(logits, tgt, t1, 1.0)
+    _, ph3 = multihead_ce(logits, tgt, t3, 1.0)
+    np.testing.assert_allclose(
+        float(ph3["tensile"]), 3.0 * float(ph1["tensile"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(float(ph3["pitch"]), float(ph1["pitch"]), rtol=1e-6)
