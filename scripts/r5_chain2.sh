@@ -11,8 +11,8 @@ set -x
 
 step() { echo "=== $(date -u +%H:%M:%S) START $1 ==="; }
 
-step wait_chain1
-while kill -0 "$(cat /tmp/r5_chain1.pid)" 2>/dev/null; do sleep 60; done
+step wait_chain3
+while kill -0 "$(cat /tmp/r5_chain3.pid)" 2>/dev/null; do sleep 60; done
 
 step tensile_w3_finetune
 timeout 5400 python -m smer_music_generation_tpu.train.loop \
