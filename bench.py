@@ -220,23 +220,42 @@ def serving_events(vocab):
 
 
 def load_flagship_checkpoint(model, params):
-    """Trained r6 flagship params if the run dir is present, else None.
+    """Trained flagship params, or None when no trained weights exist.
 
     The speculative-decode A/B needs TRAINED weights: prompt-lookup
     acceptance depends on how peaked/repetitive the model's output is,
     and random-weight streams have near-zero self-similarity.
+
+    Tries, in order: the latest local flagship run dir (orbax), then the
+    committed bf16 snapshot ``assets/flagship_params.msgpack``
+    (``scripts/export_params.py``) — the latter survives ephemeral-host
+    wipes, so the trained legs stay reproducible on a fresh machine.
     """
     import jax
 
-    path = "runs/flagship_r6/checkpoints/checkpoint_19"
-    if not os.path.isdir(path):
-        return None
-    from smer_music_generation_tpu.train.checkpoint import restore_params_only
     from smer_music_generation_tpu.train.state import TrainState
 
-    state = TrainState.create(params, lr=1e-4)
-    trained, _ = restore_params_only(path, jax.eval_shape(lambda: state))
-    return trained
+    abstract = jax.eval_shape(lambda: TrainState.create(params, lr=1e-4))
+    for path in (
+        "runs/flagship_r6/checkpoints/checkpoint_19",
+        "runs/flagship_r10_binned4/checkpoints/checkpoint_19",
+    ):
+        if os.path.isdir(path):
+            from smer_music_generation_tpu.train.checkpoint import (
+                restore_params_only,
+            )
+
+            trained, _ = restore_params_only(path, abstract)
+            return trained
+    asset = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "assets", "flagship_params.msgpack")
+    if os.path.isfile(asset):
+        from smer_music_generation_tpu.train.checkpoint import (
+            import_params_msgpack,
+        )
+
+        return import_params_msgpack(asset, abstract.params)
+    return None
 
 
 def bench_single(vocab, model, params, quant="none", draft_k=0, greedy=False,

@@ -15,6 +15,13 @@ import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
+try:  # ml_dtypes ships with jax; bfloat16 as a numpy extension dtype
+    from ml_dtypes import bfloat16 as np_bfloat16
+except ImportError:  # pragma: no cover - ml_dtypes is a jax dependency
+    import jax.numpy as _jnp
+
+    np_bfloat16 = _jnp.bfloat16
+
 from .state import TrainState
 
 
@@ -133,3 +140,51 @@ def latest_checkpoint(directory: str) -> Optional[str]:
     if not candidates:
         return None
     return os.path.join(directory, max(candidates)[1])
+
+
+def export_params_msgpack(path: str, params, meta: Optional[dict] = None) -> str:
+    """Write a params-only bf16 msgpack snapshot (~1/6 of a full orbax
+    checkpoint: no Adam moments, half-width weights).
+
+    Orbax run dirs live under gitignored ``runs/`` and die with the
+    ephemeral build host; this compact form is small enough to commit, so
+    trained-weights demos (bench ``single_trained`` leg, generate/serve
+    examples) survive host wipes.  bf16 is the decode compute dtype
+    already, so a reloaded model's inference path is unchanged; training
+    resumption is NOT supported from this format (no opt_state).
+
+    A ``<path>.json`` sidecar records provenance (``meta``) so the
+    snapshot is auditable.
+    """
+    import json
+
+    from flax import serialization
+
+    def _cast(a):
+        a = np.asarray(a)
+        return a.astype(np_bfloat16) if a.dtype == np.float32 else a
+
+    payload = jax.tree.map(_cast, jax.device_get(params))
+    data = serialization.to_bytes(payload)
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    with open(path, "wb") as fh:
+        fh.write(data)
+    if meta is not None:
+        with open(path + ".json", "w") as fh:
+            json.dump(meta, fh, indent=1, sort_keys=True)
+    return path
+
+
+def import_params_msgpack(path: str, abstract_params) -> dict:
+    """Load an :func:`export_params_msgpack` snapshot into the structure of
+    ``abstract_params`` (e.g. ``jax.eval_shape`` of ``model.init``), casting
+    each leaf back to the abstract dtype (f32 master params)."""
+    from flax import serialization
+
+    with open(path, "rb") as fh:
+        data = fh.read()
+    target = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), abstract_params)
+    restored = serialization.from_bytes(target, data)
+    return jax.tree.map(
+        lambda a, s: np.asarray(a).astype(s.dtype), restored, abstract_params
+    )

@@ -103,6 +103,26 @@ def test_trainer_two_epochs_and_checkpoint(tiny_cfg, mock_groups):
     for a, b in zip(leaves_a, jax.tree.leaves(p_only)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
+    # committable params-only snapshot: export casts f32 -> bf16 (the
+    # decode compute dtype), import restores the f32 structure; round
+    # trip is exact at bf16 resolution
+    from smer_music_generation_tpu.train.checkpoint import (
+        export_params_msgpack,
+        import_params_msgpack,
+    )
+
+    snap = os.path.join(tiny_cfg.output_dir, "params.msgpack")
+    export_params_msgpack(snap, trainer.state.params, meta={"epoch": 1})
+    assert os.path.exists(snap) and os.path.exists(snap + ".json")
+    back = import_params_msgpack(snap, abstract.params)
+    for a, b in zip(leaves_a, jax.tree.leaves(back)):
+        a = np.asarray(a)
+        b = np.asarray(b)
+        assert b.dtype == a.dtype  # cast back to the abstract (f32) dtype
+        np.testing.assert_allclose(
+            a, b, rtol=2 ** -8, atol=2 ** -14
+        )  # bf16 has an 8-bit mantissa
+
 
 def test_test_mode(tiny_cfg, mock_groups):
     trainer = Trainer(tiny_cfg)
