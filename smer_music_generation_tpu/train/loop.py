@@ -115,7 +115,36 @@ class Trainer:
         params = jax.jit(self.model.init)({"params": rng}, src, tgt)
         self.state = TrainState.create(params, lr=cfg.lr)
         self.start_epoch = 0
-        if cfg.resume_from:
+        if cfg.resume_from and os.path.isfile(cfg.resume_from):
+            # params-only .msgpack snapshot (checkpoint.export_params_msgpack):
+            # warm-start the weights with a FRESH optimizer — finetune
+            # experiments stay reproducible after ephemeral-host wipes,
+            # where orbax run dirs are gone.  Epoch always resets (there
+            # is no opt_state/epoch continuity to preserve).
+            from .checkpoint import import_params_msgpack
+
+            sidecar = cfg.resume_from + ".json"
+            if os.path.isfile(sidecar):
+                import json
+
+                with open(sidecar) as fh:
+                    snap_norm = json.load(fh).get("final_norm")
+                model_norm = "norm_e" in self.state.params.get("params", {})
+                if snap_norm is not None and bool(snap_norm) != model_norm:
+                    raise ValueError(
+                        f"snapshot {cfg.resume_from!r} was exported with "
+                        f"final_norm={snap_norm} but the model was built "
+                        f"with final_norm={model_norm}"
+                    )
+            params = import_params_msgpack(
+                cfg.resume_from, jax.eval_shape(lambda: self.state.params)
+            )
+            self.state = TrainState.create(params, lr=cfg.lr)
+            self.logger.info(
+                f"warm-started params from snapshot {cfg.resume_from} "
+                "(fresh optimizer, epoch 0)"
+            )
+        elif cfg.resume_from:
             self.state, epoch, loss = restore_checkpoint(cfg.resume_from, self.state)
             self.start_epoch = 0 if cfg.reset_epoch else epoch + 1
             self.logger.info(f"resumed from {cfg.resume_from} (epoch {epoch}, loss {loss:.4f})")

@@ -14,6 +14,7 @@ optional rules) — XLA inserts the gradient all-reduce over ICI.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict
 
 import jax
@@ -226,13 +227,29 @@ def build_model(
 def load_inference_model(cfg, vocab_size: int, checkpoint: str | None, dtype):
     """Build the flagship model and restore ``checkpoint`` into it.
 
+    ``checkpoint`` may be an orbax run directory OR a committed
+    params-only ``.msgpack`` snapshot (``checkpoint.export_params_msgpack``
+    / ``scripts/export_params.py``) — the latter survives ephemeral-host
+    wipes, so generate/serve/eval/bench stay reproducible with trained
+    weights on a fresh machine.
+
     Auto-detects the checkpoint's ``final_norm`` layout (the default
     flipped to True mid-round-1; pre-flip checkpoints lack norm_e/norm_d —
     ADVICE r1) so old artifacts restore without an explicit flag.  Returns
     ``(model, params, epoch)``; epoch is -1 with no checkpoint.
     """
+    is_snapshot = bool(checkpoint) and os.path.isfile(checkpoint)
+    snapshot_meta = {}
     final_norm = True
-    if checkpoint:
+    if is_snapshot:
+        sidecar = checkpoint + ".json"
+        if os.path.isfile(sidecar):
+            import json
+
+            with open(sidecar) as fh:
+                snapshot_meta = json.load(fh)
+            final_norm = bool(snapshot_meta.get("final_norm", True))
+    elif checkpoint:
         from .checkpoint import checkpoint_has_final_norm
 
         detected = checkpoint_has_final_norm(checkpoint)
@@ -249,7 +266,13 @@ def load_inference_model(cfg, vocab_size: int, checkpoint: str | None, dtype):
             jnp.ones((1, 16), jnp.int32), jnp.ones((1, 16), jnp.int32),
         )
 
-    if checkpoint:
+    if is_snapshot:
+        from .checkpoint import import_params_msgpack
+
+        abstract_params = jax.eval_shape(init_fn)
+        params = import_params_msgpack(checkpoint, abstract_params)
+        epoch = int(snapshot_meta.get("epoch", -1))
+    elif checkpoint:
         from .checkpoint import restore_params_only
 
         # abstract trees only: neither the random init nor the optimizer's

@@ -1,6 +1,7 @@
 """Training-loop smoke tests on the 8-device CPU mesh (mock batches)."""
 
 import os
+from dataclasses import replace as dataclasses_replace
 
 import jax
 import numpy as np
@@ -122,6 +123,50 @@ def test_trainer_two_epochs_and_checkpoint(tiny_cfg, mock_groups):
         np.testing.assert_allclose(
             a, b, rtol=2 ** -8, atol=2 ** -14
         )  # bf16 has an 8-bit mantissa
+
+
+def test_snapshot_warm_start_and_inference_load(tiny_cfg, mock_groups, tmp_path):
+    """A params-only .msgpack snapshot warm-starts the trainer (fresh
+    optimizer) and loads through load_inference_model like an orbax dir."""
+    from smer_music_generation_tpu.train.checkpoint import export_params_msgpack
+    from smer_music_generation_tpu.train.state import load_inference_model
+
+    trainer = Trainer(tiny_cfg)
+    snap = str(tmp_path / "warm.msgpack")
+    export_params_msgpack(
+        snap, trainer.state.params, meta={"epoch": 1, "final_norm": True}
+    )
+
+    cfg2 = dataclasses_replace(tiny_cfg, resume_from=snap,
+                               output_dir=str(tmp_path / "warm_run"))
+    trainer2 = Trainer(cfg2)
+    assert trainer2.start_epoch == 0
+    for a, b in zip(
+        jax.tree.leaves(trainer.state.params), jax.tree.leaves(trainer2.state.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2 ** -8, atol=2 ** -14
+        )
+
+    model, params, epoch = load_inference_model(
+        tiny_cfg, trainer.vocab.vocab_size, snap, jax.numpy.float32
+    )
+    assert epoch == 1
+    for a, b in zip(
+        jax.tree.leaves(trainer.state.params), jax.tree.leaves(params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2 ** -8, atol=2 ** -14
+        )
+
+    # layout mismatch is a descriptive error, not a flax structure dump
+    bad_meta_snap = str(tmp_path / "bad.msgpack")
+    export_params_msgpack(
+        bad_meta_snap, trainer.state.params, meta={"final_norm": False}
+    )
+    with pytest.raises(ValueError, match="final_norm"):
+        Trainer(dataclasses_replace(tiny_cfg, resume_from=bad_meta_snap,
+                                    output_dir=str(tmp_path / "bad_run")))
 
 
 def test_test_mode(tiny_cfg, mock_groups):
