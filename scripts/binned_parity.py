@@ -14,8 +14,9 @@ import numpy as np
 RUNS = {
     "r6 (plain, seed 99)": "docs/training_run/r6",
     "r7 (plain, seed 7)": "docs/training_run/r7",
-    "r8 (binned+gated, seed 99)": "runs/flagship_r8_binned",
-    "r9 (binned+gated, lr 1.6e-4, seed 99)": "runs/flagship_r9_binned_lr",
+    "r8 (binned+gated, seed 99)": "docs/training_run/r8_binned",
+    "r9 (binned+gated, lr 1.6e-4, seed 99)": "docs/training_run/r9_binned_lr",
+    "r10 (binned+gated, rows 4, seed 99)": "docs/training_run/r10_binned4",
 }
 
 
