@@ -103,15 +103,20 @@ class ExperimentConfig:
     # shape-binned batching (PERFORMANCE.md Finding 8): pool masked rows
     # across pack groups into per-shape bins — FLOP utilization 0.19 ->
     # 0.68 on the real corpus (scripts/padding_audit.py).  Train loader
-    # only; opt-in until a full run validates training parity (same
-    # policy as every numerics/default change).
-    binned_batching: bool = False
-    rows_per_batch: int = 0  # 0 = row_bucket (binned mode only)
+    # only.  DEFAULT since round 5: the rows_per_batch=4 full-recipe run
+    # (flagship_r10_binned4, docs/TRAINING.md) matches the plain-loader
+    # valid curve within seed noise (best 0.5883 vs 0.5656/0.5783) at
+    # ~1/2.5 the wall-clock; r8 (rows 8) and r9 (rows 8, lr x1.6) did
+    # NOT and stayed opt-in — the flip follows the same frozen-defaults
+    # policy as every numerics change.  --no-binned restores the
+    # reference's per-group batching exactly.
+    binned_batching: bool = True
+    rows_per_batch: int = 4  # 0 = row_bucket (binned mode only)
     # compute per-class accuracy + per-module norm summaries only on
     # logged steps (the reference computes accuracy on wandb.log steps,
     # train.py:800-880, not every step); loss and global grad norm stay
     # per-step.  Identical parameter trajectory either way.
-    gated_metrics: bool = False
+    gated_metrics: bool = True
 
     @property
     def control_list(self) -> List[str]:
@@ -173,11 +178,16 @@ class ExperimentConfig:
         parser.add_argument("--seed", type=int, default=defaults.seed,
                             help="init + masking RNG seed (reference "
                             "train.py fixes 99; vary for replicate runs)")
-        parser.add_argument("--binned", action="store_true",
-                            help="shape-binned train batching (Finding 8)")
+        parser.add_argument("--binned", action=argparse.BooleanOptionalAction,
+                            default=defaults.binned_batching,
+                            help="shape-binned train batching (Finding 8; "
+                            "default on — --no-binned restores the "
+                            "reference's per-group batching)")
         parser.add_argument("--rows_per_batch", type=int,
                             default=defaults.rows_per_batch)
-        parser.add_argument("--gated_metrics", action="store_true",
+        parser.add_argument("--gated_metrics",
+                            action=argparse.BooleanOptionalAction,
+                            default=defaults.gated_metrics,
                             help="per-class accuracy/module norms on "
                             "logged steps only")
         parser.add_argument("--tensile_weight", type=float,
