@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from ..codec.annotate import encode_midi
 from ..codec.midi import read_midi
 from ..codec.smer import events_to_midi
-from ..train.state import load_inference_model
+from ..train.state import default_flagship_snapshot, load_inference_model
 from ..utils.cache import enable_persistent_cache
 from ..utils.config import ExperimentConfig
 from ..utils.logging import logger_init
@@ -50,6 +50,14 @@ def main(argv=None) -> int:
     cfg = ExperimentConfig.load(args.config) if args.config else ExperimentConfig()
     vocab = WordVocab(cfg.vocab_mode, cfg.control_list)
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    if args.checkpoint == "random":
+        args.checkpoint = None
+    elif args.checkpoint is None and args.config is None and cfg.vocab_mode == 0:
+        args.checkpoint = default_flagship_snapshot()
+        if args.checkpoint:
+            logger.info("no --checkpoint: using the committed trained "
+                        "snapshot (pass '--checkpoint random' for random "
+                        "weights)")
     model, params, epoch = load_inference_model(
         cfg, vocab.vocab_size, args.checkpoint, dtype
     )

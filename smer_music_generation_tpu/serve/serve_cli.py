@@ -47,6 +47,16 @@ def main(argv=None) -> int:
     cfg = ExperimentConfig.load(args.config) if args.config else ExperimentConfig()
     vocab = WordVocab(cfg.vocab_mode, cfg.control_list)
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    if args.checkpoint == "random":
+        args.checkpoint = None
+    elif args.checkpoint is None and args.config is None and cfg.vocab_mode == 0:
+        from ..train.state import default_flagship_snapshot
+
+        args.checkpoint = default_flagship_snapshot()
+        if args.checkpoint:
+            logger.info("no --checkpoint: serving the committed trained "
+                        "snapshot (pass '--checkpoint random' for random "
+                        "weights)")
     model, params, epoch = load_inference_model(
         cfg, vocab.vocab_size, args.checkpoint, dtype
     )

@@ -224,6 +224,23 @@ def build_model(
     return ScoreTransformer(cfg)
 
 
+def default_flagship_snapshot() -> str | None:
+    """Path of the committed trained-flagship snapshot, if it exists.
+
+    ``assets/flagship_params.msgpack`` (repo root; see
+    ``scripts/export_params.py``) ships the best trained checkpoint as
+    bf16 params so serving/generation works out of the box on a fresh
+    host.  CLIs fall back to it when invoked with NO --checkpoint and NO
+    --config (a custom config implies a custom model the snapshot would
+    not fit); pass ``--checkpoint random`` to force random weights.
+    """
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "assets", "flagship_params.msgpack",
+    )
+    return path if os.path.isfile(path) else None
+
+
 def load_inference_model(cfg, vocab_size: int, checkpoint: str | None, dtype):
     """Build the flagship model and restore ``checkpoint`` into it.
 
