@@ -437,7 +437,8 @@ def bench_train_step(vocab, model, params, batch_size=8, src_len=640,
 
 
 def bench_train_corpus_slice(vocab, model, params, n_batches=120,
-                             binned=False, gated=False, seed=11):
+                             binned=False, gated=False, seed=11,
+                             rows_per_batch=0):
     """Real-corpus training throughput: loader + step over the first
     ``n_batches`` of a finetuning epoch (corpus4), reported as
     LOSS-BEARING tokens/sec — the number the shape-binned batcher and
@@ -461,14 +462,15 @@ def bench_train_corpus_slice(vocab, model, params, n_batches=120,
     jax.config.update("jax_default_prng_impl", "unsafe_rbg")
     try:
         return _bench_train_corpus_slice_body(
-            vocab, model, params, n_batches, binned, gated, seed
+            vocab, model, params, n_batches, binned, gated, seed,
+            rows_per_batch,
         )
     finally:
         jax.config.update("jax_default_prng_impl", prev_impl)
 
 
 def _bench_train_corpus_slice_body(vocab, model, params, n_batches,
-                                   binned, gated, seed):
+                                   binned, gated, seed, rows_per_batch=0):
     import jax
     import jax.numpy as jnp
 
@@ -487,7 +489,7 @@ def _bench_train_corpus_slice_body(vocab, model, params, n_batches,
         vocab, groups,
         LoaderConfig(batch_size=1, max_src=2400, max_tgt=2400,
                      pretraining=False, bucket=256, row_bucket=8,
-                     bin_rows=binned),
+                     bin_rows=binned, rows_per_batch=rows_per_batch),
         MaskingConfig(total_mask_ratio=0.15, bar_track_control=True,
                       bar_control_at_end=True),
         seed=seed,
@@ -514,7 +516,9 @@ def _bench_train_corpus_slice_body(vocab, model, params, n_batches,
     jax.device_get(m["loss"])
     dt = time.perf_counter() - t0
     return {
-        "mode": ("binned" if binned else "plain") + ("+gated" if gated else ""),
+        "mode": ("binned" if binned else "plain")
+        + (f"_rows{rows_per_batch}" if binned and rows_per_batch else "")
+        + ("+gated" if gated else ""),
         "n_batches": len(batches),
         "distinct_shapes": len(seen),
         "loss_tokens": loss_tokens,
@@ -720,6 +724,11 @@ def main():
                 bench_train_corpus_slice(vocab, model, params)),
             "train_corpus_binned": run_leg("train_corpus_binned", lambda:
                 bench_train_corpus_slice(vocab, model, params, binned=True)),
+            # the shipped training default since round 5 (TRAINING.md r10)
+            "train_corpus_shipped_rows4": run_leg(
+                "train_corpus_shipped_rows4", lambda:
+                bench_train_corpus_slice(vocab, model, params, binned=True,
+                                         gated=True, rows_per_batch=4)),
             "train_corpus_binned_gated": run_leg(
                 "train_corpus_binned_gated", lambda:
                 bench_train_corpus_slice(vocab, model, params, binned=True,
