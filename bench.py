@@ -717,9 +717,14 @@ def main():
         if trained is not None:
             # the trained-weights headline adjunct (VERDICT r4 #8): real
             # serving distribution of session lengths, time repair ON
+            # wide gate: with repairs ON the rep-to-rep latency varies
+            # legitimately (sessions draw different numbers of time-repair
+            # re-decodes), so a tight spread gate would flag honest
+            # variance as contention
             details["single_trained"] = run_leg(
                 "single_trained", lambda: bench_single(
-                    vocab, model, trained, repairs=True))
+                    vocab, model, trained, repairs=True),
+                max_spread_pct=250.0)
             details |= {
                 "spec_base_nucleus": run_leg("spec_base_nucleus", lambda:
                     bench_single(vocab, model, trained)),
