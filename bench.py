@@ -330,7 +330,8 @@ def bench_single(vocab, model, params, quant="none", draft_k=0, greedy=False,
     }
 
 
-def bench_batched(vocab, model, params, batch=16, group=8, quant="none"):
+def bench_batched(vocab, model, params, batch=16, group=8, quant="none",
+                  trained=False):
     """Config 5: many infill sessions decoded as sequential fused groups.
 
     The fused kernel's aggregate throughput peaks around B=8 (the weight
@@ -378,10 +379,12 @@ def bench_batched(vocab, model, params, batch=16, group=8, quant="none"):
     return {
         "batch": batch,
         "group": group,
+        "trained_weights": trained,
         "batched_tokens_per_sec": round(float(np.median(rates)), 2),
         "batched_tokens_per_sec_best": round(rates[-1], 2),
         "batched_tokens_per_sec_worst": round(rates[0], 2),
         "p50_latency_s": round(float(np.percentile(lat, 50)), 4),
+        "tokens_per_session": round(float(np.mean(total_toks)) / batch, 1),
     }
 
 
@@ -706,6 +709,9 @@ def main():
             # BASELINE configs[4] names batch 64: 8 pipelined groups of 8
             "batched_64": run_leg("batched_64", lambda: bench_batched(
                 vocab, model, params, batch=64, quant=args.quant)),
+            # random weights never emit <eos>, so every span runs to its
+            # 100-token cap (~822 tok/session); the trained leg below
+            # measures config 5 at the REAL serving session distribution
             # BASELINE configs[2]: tension-controlled generation
             "tension_controlled": run_leg("tension", lambda:
                 bench_tension_controlled(vocab, model, params,
@@ -725,6 +731,12 @@ def main():
                 "single_trained", lambda: bench_single(
                     vocab, model, trained, repairs=True),
                 max_spread_pct=250.0)
+            # config 5 at the real serving distribution (~100-token
+            # sessions): the trained twin of batched_64
+            details["batched_64_trained"] = run_leg(
+                "batched_64_trained", lambda: bench_batched(
+                    vocab, model, trained, batch=64, quant=args.quant,
+                    trained=True))
             details |= {
                 "spec_base_nucleus": run_leg("spec_base_nucleus", lambda:
                     bench_single(vocab, model, trained)),
